@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Headline benchmark: 2nd-order biased walk throughput, 1M-node sparse graph.
+
+Prints ONE JSON line:
+    {"metric": "walk_steps_per_sec", "value": ..., "unit": "steps/s",
+     "vs_baseline": ...}
+
+``value`` is walker-steps/second of the device walk engine (SparseOTF
+semantics, weighted, p=0.5 q=2) on a synthetic 1M-node graph with mean
+degree ~16 (the BASELINE.md workload shape). ``vs_baseline`` compares
+against a CPU reference implementing the identical transition math as
+vectorized numpy on this host — a stand-in for PecanPy's Numba walker,
+which cannot run here (no numba in the image); vectorized numpy is at
+least competitive with PecanPy's scalar per-step loop on one CPU.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_graph(n, avg_deg, seed=0):
+    """Random undirected weighted graph as a CSR triple."""
+    rng = np.random.default_rng(seed)
+    m = n * avg_deg // 2
+    src = rng.integers(0, n, m, dtype=np.int64)
+    dst = rng.integers(0, n, m, dtype=np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    u = np.concatenate([src, dst])
+    v = np.concatenate([dst, src])
+    code = np.unique(u * n + v)
+    u, v = code // n, code % n
+    # symmetric deterministic weights
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    w = (((lo * 2654435761 + hi) % 1000) / 1000.0 * 1.5 + 0.5).astype(np.float32)
+    order = np.lexsort((v, u))
+    u, v, w = u[order], v[order], w[order]
+    deg = np.bincount(u, minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(deg)])
+    return indptr, v, w
+
+
+def cpu_reference_steps_per_sec(nbr, wgt, deg, starts, n_steps, p, q):
+    """Vectorized-numpy walker with identical transition math (baseline)."""
+    rng = np.random.default_rng(1)
+    b, d = starts.size, nbr.shape[1]
+    cur = starts.copy()
+    rows_w = wgt[cur]
+    cdf = np.cumsum(rows_w, axis=1)
+    u = rng.random((b, 1)) * cdf[:, -1:]
+    choice = np.minimum((cdf < u).sum(1), d - 1)
+    prev = cur
+    cur = nbr[cur, choice]
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        cur_nbr = nbr[cur]
+        w = wgt[cur].copy()
+        prev_nbr = nbr[prev]
+        # membership of cur's candidates in prev's sorted row
+        pos = np.minimum(
+            np.array(
+                [np.searchsorted(pn, cn) for pn, cn in zip(prev_nbr, cur_nbr)]
+            ),
+            d - 1,
+        )
+        found = np.take_along_axis(prev_nbr, pos, 1) == cur_nbr
+        is_prev = cur_nbr == prev[:, None]
+        w *= np.where(~found & ~is_prev, 1.0 / q, 1.0)
+        w *= np.where(is_prev, 1.0 / p, 1.0)
+        cdf = np.cumsum(w, axis=1)
+        u = rng.random((b, 1)) * cdf[:, -1:]
+        choice = np.minimum((cdf < u).sum(1), d - 1)
+        nxt = np.take_along_axis(cur_nbr, choice[:, None], 1)[:, 0]
+        alive = deg[cur] > 0
+        prev, cur = cur, np.where(alive, nxt, cur)
+    dt = time.perf_counter() - t0
+    return b * n_steps / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pecanpy_tpu.models import engine
+    from pecanpy_tpu.ops import sampling, transition
+    from pecanpy_tpu.ops.layout import build_device_csr
+
+    n = 1_000_000
+    avg_deg = 16
+    p, q = 0.5, 2.0
+    walkers = 131_072
+    walk_length = 80
+
+    print(f"building {n}-node graph...", file=sys.stderr)
+    indptr, indices, data = build_graph(n, avg_deg)
+    graph = build_device_csr(indptr, indices, data)
+    print(
+        f"graph: {int(indptr[-1])} directed edges, max degree "
+        f"{graph.max_degree}, device {jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+    def first_fn(k, cur):
+        w = transition.first_order_weights(graph, cur)
+        c = sampling.categorical_rows(k, w)
+        return jnp.take_along_axis(graph.nbr[cur], c[:, None], 1)[:, 0]
+
+    def step_fn(k, cur, prev):
+        w = transition.node2vec_weights(graph, cur, prev, p, q)
+        c = sampling.categorical_rows(k, w)
+        return jnp.take_along_axis(graph.nbr[cur], c[:, None], 1)[:, 0]
+
+    @jax.jit
+    def run(starts, key):
+        return engine.generate_walks(
+            graph, first_fn, step_fn, starts, key, walk_length
+        )
+
+    rng = np.random.default_rng(0)
+    starts = jnp.asarray(rng.integers(0, n, walkers, dtype=np.int32))
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    jax.block_until_ready(run(starts, key))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(starts, jax.random.fold_in(key, i)))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    device_sps = walkers * walk_length / best
+    print(f"device: {device_sps:.3e} steps/s (best of 3)", file=sys.stderr)
+
+    # CPU baseline on the same graph, scaled-down batch
+    nbr_host = np.asarray(graph.nbr)
+    wgt_host = np.asarray(graph.wgt)
+    deg_host = np.asarray(graph.deg)
+    cpu_starts = rng.integers(0, n, 4096, dtype=np.int64)
+    cpu_sps = cpu_reference_steps_per_sec(
+        nbr_host, wgt_host, deg_host, cpu_starts, 5, p, q
+    )
+    print(f"cpu baseline: {cpu_sps:.3e} steps/s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "walk_steps_per_sec",
+                "value": device_sps,
+                "unit": "steps/s",
+                "vs_baseline": device_sps / cpu_sps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

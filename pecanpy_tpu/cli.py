@@ -1,0 +1,278 @@
+"""Command-line interface.
+
+Mirrors the reference CLI surface (``src/pecanpy/cli.py``): the same flag
+set, task dispatch (``pecanpy`` / ``tocsr`` / ``todense``), mode-selection
+recommendation heuristics, and output formats (.npz or word2vec text).
+
+Example::
+
+    pecanpy-tpu --input demo/karate.edg --output karate.emb --mode SparseOTF
+"""
+import argparse
+import warnings
+
+import numpy as np
+
+from pecanpy_tpu import graph, pecanpy
+from pecanpy_tpu.wrappers import Timer
+
+
+def parse_args(argv=None):
+    """Parse node2vec arguments (flag parity: ``cli.py:27-176``)."""
+    parser = argparse.ArgumentParser(
+        description="Run pecanpy-tpu, a TPU-native node2vec(+) framework "
+        "built on JAX/XLA/Pallas",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument(
+        "--input", required=True, help="Input graph (.edg or .npz) file path."
+    )
+    parser.add_argument(
+        "--output",
+        required=True,
+        help="Output embeddings file path. Save as .npz file if the "
+        "specified file path ends with .npz, otherwise save as a text file "
+        "in the word2vec format.",
+    )
+    parser.add_argument(
+        "--task",
+        default="pecanpy",
+        choices=["pecanpy", "tocsr", "todense"],
+        help="Task to be performed.",
+    )
+    parser.add_argument(
+        "--mode",
+        default="SparseOTF",
+        choices=[
+            "DenseOTF",
+            "FirstOrderUnweighted",
+            "PreComp",
+            "PreCompFirstOrder",
+            "SparseOTF",
+        ],
+        help="Walk mode.",
+    )
+    parser.add_argument(
+        "--dimensions", type=int, default=128, help="Number of dimensions."
+    )
+    parser.add_argument(
+        "--walk-length", type=int, default=80, help="Length of walk per source."
+    )
+    parser.add_argument(
+        "--num-walks", type=int, default=10, help="Number of walks per source."
+    )
+    parser.add_argument(
+        "--window-size", type=int, default=10, help="Context size for optimization."
+    )
+    parser.add_argument(
+        "--epochs", type=int, default=1, help="Number of SGNS training epochs."
+    )
+    parser.add_argument(
+        "--workers",
+        type=int,
+        default=0,
+        help="Number of host threads (0 = all available). Device kernels "
+        "are unaffected.",
+    )
+    parser.add_argument("--p", type=float, default=1, help="Return hyperparameter.")
+    parser.add_argument("--q", type=float, default=1, help="Inout hyperparameter.")
+    parser.add_argument(
+        "--weighted", action="store_true", help="Boolean specifying (un)weighted."
+    )
+    parser.add_argument(
+        "--directed", action="store_true", help="Graph is (un)directed."
+    )
+    parser.add_argument(
+        "--verbose", action="store_true", help="Print out training details"
+    )
+    parser.add_argument(
+        "--extend", action="store_true", help="Use node2vec+ extension"
+    )
+    parser.add_argument(
+        "--gamma", type=float, default=0, help="Noisy edge threshold parameter."
+    )
+    parser.add_argument(
+        "--random_state",
+        type=int,
+        default=None,
+        help="Random seed for generating random walks.",
+    )
+    parser.add_argument(
+        "--delimiter",
+        type=str,
+        default="\t",
+        help="Delimiter used between node IDs.",
+    )
+    parser.add_argument(
+        "--implicit_ids",
+        action="store_true",
+        help="If set, use canonical node ordering for the node IDs.",
+    )
+    return parser.parse_args(argv)
+
+
+def check_mode(g, args):
+    """Validate mode constraints and recommend better modes.
+
+    Same decision table as the reference (``cli.py:179-254``):
+    FirstOrderUnweighted requires unweighted p=q=1; PreCompFirstOrder
+    requires p=q=1; density thresholds steer PreComp / SparseOTF / DenseOTF.
+    """
+    mode, weighted, p, q = args.mode, args.weighted, args.p, args.q
+
+    if mode == "FirstOrderUnweighted":
+        if not p == q == 1 or weighted:
+            raise ValueError(
+                f"FirstOrderUnweighted only works when weighted = False and "
+                f"p = q = 1, got {weighted=}, {p=}, {q=}",
+            )
+        return
+    if p == q == 1 and not weighted:
+        warnings.warn(
+            "When p = 1 and q = 1 with unweighted graph, it is highly "
+            f"recommended to use FirstOrderUnweighted over {mode} (current "
+            "selection). The runtime could be improved greatly with improved "
+            "memory usage.",
+            stacklevel=2,
+        )
+        return
+
+    if mode == "PreCompFirstOrder":
+        if not p == q == 1:
+            raise ValueError(
+                f"PreCompFirstOrder only works when p = q = 1, got {p=}, {q=}",
+            )
+        return
+    if p == 1 == q:
+        warnings.warn(
+            "When p = 1 and q = 1, it is highly recommended to use "
+            f"PreCompFirstOrder over {mode} (current selection). The runtime "
+            "could be improved greatly with low memory usage.",
+            stacklevel=2,
+        )
+        return
+
+    size, dens = g.num_nodes, g.density
+    if dens >= 0.2 and mode != "DenseOTF":
+        warnings.warn(
+            f"Network density = {dens:.3f} (> 0.2), it is recommended to "
+            f"use DenseOTF over {mode} (current selection)",
+            stacklevel=2,
+        )
+    if dens < 0.001 and size < 10000 and mode != "PreComp":
+        warnings.warn(
+            f"Network density = {dens:.2e} (< 0.001) with {size} nodes "
+            f"(< 10000), it is recommended to use PreComp over {mode} "
+            "(current selection)",
+            stacklevel=2,
+        )
+    if 0.001 <= dens < 0.2 and mode != "SparseOTF":
+        warnings.warn(
+            f"Network density = {dens:.3f}, it is recommended to use "
+            f"SparseOTF over {mode} (current selection)",
+            stacklevel=2,
+        )
+    if dens < 0.001 and size >= 10000 and mode != "SparseOTF":
+        warnings.warn(
+            f"Network density = {dens:.3f} (< 0.001) with {size} nodes "
+            f"(>= 10000), it is recommended to use SparseOTF over {mode} "
+            "(current selection)",
+            stacklevel=2,
+        )
+
+
+@Timer("load Graph")
+def read_graph(args):
+    """Load the input network; handle the conversion tasks.
+
+    Reference flow: ``cli.py:257-304``.
+    """
+    if args.directed and args.extend:
+        raise NotImplementedError(
+            "Node2vec+ not implemented for directed graph yet."
+        )
+    if args.extend and not args.weighted:
+        print("NOTE: node2vec+ is equivalent to node2vec for unweighted graphs.")
+
+    if args.task in ("tocsr", "todense"):
+        g = graph.SparseGraph() if args.task == "tocsr" else graph.DenseGraph()
+        g.read_edg(args.input, args.weighted, args.directed, args.delimiter)
+        g.save(args.output)
+        return None
+
+    mode_cls = getattr(pecanpy, args.mode)
+    g = mode_cls(
+        p=args.p,
+        q=args.q,
+        workers=args.workers,
+        verbose=args.verbose,
+        extend=args.extend,
+        gamma=args.gamma,
+        random_state=args.random_state,
+    )
+    if args.input.endswith(".npz"):
+        g.read_npz(args.input, args.weighted, implicit_ids=args.implicit_ids)
+    else:
+        g.read_edg(args.input, args.weighted, args.directed, args.delimiter)
+
+    check_mode(g, args)
+    return g
+
+
+def save_embeddings(path: str, node_ids, embeddings: np.ndarray):
+    """Write embeddings as .npz (keys IDs/data) or word2vec text format.
+
+    Output contract: ``cli.py:321-325``. The text format is the standard
+    word2vec layout: a ``"<vocab> <dim>"`` header line, then one
+    space-separated ``<id> <v1> ... <vd>`` row per node.
+    """
+    if path.endswith(".npz"):
+        np.savez(path, IDs=node_ids, data=embeddings)
+        return
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(f"{len(node_ids)} {embeddings.shape[1]}\n")
+        for node_id, row in zip(node_ids, embeddings):
+            vec = " ".join(repr(float(v)) for v in row)
+            f.write(f"{node_id} {vec}\n")
+
+
+@Timer("pre-compute transition probabilities")
+def preprocess(g):
+    """Transition-probability preprocessing stage (timed)."""
+    g.preprocess_transition_probs()
+
+
+@Timer("generate walks")
+def simulate_walks(args, g):
+    """Walk generation stage (timed); keeps walks on device."""
+    return g.simulate_walks_device(args.num_walks, args.walk_length)
+
+
+@Timer("train embeddings")
+def learn_embeddings(args, g, walks, eff_len):
+    """SGNS training stage (timed) + output writing."""
+    from pecanpy_tpu.models import sgns
+
+    config = sgns.SGNSConfig(
+        dim=args.dimensions,
+        window=args.window_size,
+        epochs=args.epochs,
+        seed=args.random_state,
+    )
+    embeddings = np.asarray(sgns.train(walks, eff_len, g.num_nodes, config))
+    save_embeddings(args.output, g.nodes, embeddings)
+
+
+def main(argv=None):
+    """End-to-end pipeline: read -> preprocess -> walk -> embed -> save."""
+    args = parse_args(argv)
+    g = read_graph(args)
+    if g is None:  # conversion task
+        return
+    preprocess(g)
+    walks, eff_len = simulate_walks(args, g)
+    learn_embeddings(args, g, walks, eff_len)
+
+
+if __name__ == "__main__":
+    main()

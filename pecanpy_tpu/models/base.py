@@ -1,0 +1,235 @@
+"""Walk-mode base class: device-graph management, walk driver, embedding.
+
+Mirrors the surface of the reference ``Base`` (``pecanpy.py:27-290``):
+constructor parameters ``p, q, workers, verbose, extend, gamma,
+random_state``, the ``simulate_walks`` / ``embed`` entry points, and the
+lazy one-shot ``preprocess_transition_probs`` hook. The execution model is
+completely different: walks run as batched ``lax.scan`` programs on device
+(see ``pecanpy_tpu.models.engine``), and embeddings train with the on-device
+SGNS trainer instead of gensim.
+
+Reproducibility contract: the reference promises identical walks for a
+fixed ``random_state`` with one thread (same RNG stream). Here the promise
+is the JAX equivalent — a fixed ``random_state`` yields an identical
+``jax.random`` key tree and therefore identical walks, independent of batch
+chunking or device count. The two implementations agree *distributionally*
+(same per-step transition law), not sample-for-sample.
+"""
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pecanpy_tpu.graph import BaseGraph
+from pecanpy_tpu.models import engine
+from pecanpy_tpu.ops.layout import DeviceCSR
+from pecanpy_tpu.typing import Embeddings
+from pecanpy_tpu.wrappers import Timer
+
+DEFAULT_WALKER_BATCH = 32768
+
+
+class Base(BaseGraph):
+    """Skeleton for all walk modes.
+
+    Args:
+        p: return parameter (bias 1/p on the edge back to the previous node).
+        q: in-out parameter (bias 1/q on edges leaving prev's neighborhood).
+        workers: host thread count for CPU-side work; device kernels ignore
+            it (kept for reference API parity, where it is also a no-op for
+            walks — ``pecanpy.py:96``).
+        verbose: print stage timings / progress.
+        extend: use the node2vec+ extended transition kernel.
+        gamma: node2vec+ noise-threshold std multiplier.
+        random_state: seed for start-node shuffling and the device RNG tree.
+        walker_batch: walkers advanced per device dispatch (compiled batch
+            size; larger = better device utilization, more memory).
+    """
+
+    def __init__(
+        self,
+        p: float = 1,
+        q: float = 1,
+        workers: int = 1,
+        verbose: bool = False,
+        extend: bool = False,
+        gamma: float = 0,
+        random_state: Optional[int] = None,
+        walker_batch: int = DEFAULT_WALKER_BATCH,
+    ):
+        super().__init__()
+        self.p = p
+        self.q = q
+        self.workers = workers
+        self.verbose = verbose
+        self.extend = extend
+        self.gamma = gamma
+        self.random_state = random_state
+        self.walker_batch = walker_batch
+        self._device_graph: Optional[DeviceCSR] = None
+        self._preprocessed: bool = False
+        self._walk_fn_cache: Dict[int, object] = {}
+
+    # -- device graph -------------------------------------------------------
+
+    def _build_device_graph(self) -> DeviceCSR:
+        raise NotImplementedError
+
+    def get_device_graph(self) -> DeviceCSR:
+        """Padded device layout of this graph (built once, cached)."""
+        if self._device_graph is None:
+            self._device_graph = self._build_device_graph()
+        return self._device_graph
+
+    # -- mode plug points ----------------------------------------------------
+
+    def make_step_fns(self) -> Tuple[engine.FirstFn, engine.StepFn]:
+        """Return (first_fn, step_fn), each taking (dg, aux, key, ...)."""
+        raise NotImplementedError
+
+    def _walk_aux(self):
+        """Extra device state threaded to the step fns (e.g. alias tables)."""
+        return ()
+
+    def preprocess_transition_probs(self):
+        """Build device-resident state ahead of walking.
+
+        Default: materialize the device graph. PreComp modes additionally
+        build their alias tables here (reference hook: ``pecanpy.py:231-238``).
+        """
+        self.get_device_graph()
+
+    def _preprocess_transition_probs(self):
+        if not self._preprocessed:
+            self.preprocess_transition_probs()
+            self._preprocessed = True
+
+    # -- walk driver ---------------------------------------------------------
+
+    def _get_walk_fn(self, walk_length: int):
+        if walk_length not in self._walk_fn_cache:
+            first_fn, step_fn = self.make_step_fns()
+
+            def run(dg, aux, start, key):
+                return engine.generate_walks(
+                    dg,
+                    lambda k, cur: first_fn(dg, aux, k, cur),
+                    lambda k, cur, prev: step_fn(dg, aux, k, cur, prev),
+                    start,
+                    key,
+                    walk_length,
+                )
+
+            self._walk_fn_cache[walk_length] = jax.jit(run)
+        return self._walk_fn_cache[walk_length]
+
+    def _start_nodes(self, num_walks: int) -> np.ndarray:
+        """Every node repeated num_walks times, shuffled under the seed.
+
+        Matches the reference start-node construction (``pecanpy.py:135-141``);
+        the shuffle only permutes output order here (no load-balancing role),
+        kept so walk *sets* line up across implementations.
+        """
+        nodes = np.arange(self.num_nodes, dtype=np.int32)
+        starts = np.concatenate([nodes] * num_walks)
+        np.random.seed(self.random_state)
+        np.random.shuffle(starts)
+        return starts
+
+    def _base_key(self) -> jax.Array:
+        seed = self.random_state
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        return jax.random.PRNGKey(seed)
+
+    def simulate_walks_device(
+        self,
+        num_walks: int,
+        walk_length: int,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Generate all walks on device.
+
+        Returns:
+            walks: [num_walks * N, walk_length + 1] int32 node indices.
+            eff_len: [num_walks * N] int32 effective walk lengths.
+        """
+        self._preprocess_transition_probs()
+        dg = self.get_device_graph()
+        aux = self._walk_aux()
+        walk_fn = self._get_walk_fn(walk_length)
+        base_key = self._base_key()
+
+        starts = self._start_nodes(num_walks)
+        total = starts.size
+        chunk = min(self.walker_batch, total)
+
+        walk_parts, eff_parts = [], []
+        for i, lo in enumerate(range(0, total, chunk)):
+            part = starts[lo : lo + chunk]
+            pad = chunk - part.size
+            if pad:
+                part = np.pad(part, (0, pad))
+            walks, eff = walk_fn(
+                dg, aux, jnp.asarray(part), jax.random.fold_in(base_key, i)
+            )
+            if pad:
+                walks, eff = walks[:-pad], eff[:-pad]
+            walk_parts.append(walks)
+            eff_parts.append(eff)
+
+        if len(walk_parts) == 1:
+            return walk_parts[0], eff_parts[0]
+        return jnp.concatenate(walk_parts), jnp.concatenate(eff_parts)
+
+    def simulate_walks(
+        self,
+        num_walks: int,
+        walk_length: int,
+    ) -> List[List[str]]:
+        """Generate walks as lists of node-ID strings (reference API).
+
+        Note: converting device walks to Python string lists is O(total
+        walk tokens) host work — the reference has the same liability
+        (``pecanpy.py:160``). Device consumers should use
+        ``simulate_walks_device`` instead.
+        """
+        walks, eff_len = self.simulate_walks_device(num_walks, walk_length)
+        walks = np.asarray(walks)
+        eff_len = np.asarray(eff_len)
+        ids = self.nodes
+        return [
+            [ids[node] for node in row[:n]] for row, n in zip(walks, eff_len)
+        ]
+
+    # -- embedding -----------------------------------------------------------
+
+    def embed(
+        self,
+        dim: int = 128,
+        num_walks: int = 10,
+        walk_length: int = 80,
+        window_size: int = 10,
+        epochs: int = 1,
+        verbose: bool = False,
+    ) -> Embeddings:
+        """Walks + on-device SGNS, returning graph-aligned embeddings.
+
+        Matches the reference defaults and training recipe
+        (``pecanpy.py:240-290``: skip-gram, negative sampling, min_count=0);
+        row i of the result embeds node i.
+        """
+        from pecanpy_tpu.models import sgns
+
+        timed_walk = Timer("generate walks", verbose)(self.simulate_walks_device)
+        walks, eff_len = timed_walk(num_walks, walk_length)
+
+        config = sgns.SGNSConfig(
+            dim=dim,
+            window=window_size,
+            epochs=epochs,
+            seed=self.random_state,
+        )
+        timed_train = Timer("train embeddings", verbose)(sgns.train)
+        embeddings = timed_train(walks, eff_len, self.num_nodes, config)
+        return np.asarray(embeddings)

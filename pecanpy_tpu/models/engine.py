@@ -1,0 +1,83 @@
+"""The batched walk engine: one ``lax.scan`` over steps, B walkers at once.
+
+The reference drives each walk with a scalar Python loop compiled by Numba
+(``Base._random_walks``, ``pecanpy.py:164-210``), parallelized with
+``prange`` threads over walks. The TPU formulation inverts the loop nest:
+the *batch* axis holds thousands of walkers advancing in lockstep, and the
+sequential walk-length axis is a compiled ``lax.scan``. Every mode plugs
+into the same engine through two step callables:
+
+    first_fn(key, cur)        -> next   (first step: 1st-order transition)
+    step_fn(key, cur, prev)   -> next   (subsequent steps: 2nd-order)
+
+Walk semantics preserved from the reference (``pecanpy.py:180-206``):
+
+* column 0 holds the start node; steps fill columns 1..L;
+* a walker whose current node has no neighbors stops: the *effective
+  length* records how many valid entries the walk has (L+1 when it never
+  stopped, j when the node reached at column j-1 had no out-edges);
+* dead walkers keep emitting their resting node, which is never read
+  because consumers cut each walk at its effective length.
+"""
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pecanpy_tpu.ops.layout import DeviceCSR
+
+FirstFn = Callable[[jax.Array, jax.Array], jax.Array]
+StepFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+def generate_walks(
+    graph: DeviceCSR,
+    first_fn: FirstFn,
+    step_fn: StepFn,
+    start: jax.Array,
+    key: jax.Array,
+    walk_length: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Advance a batch of walkers ``walk_length`` steps.
+
+    Args:
+        graph: padded device CSR.
+        first_fn / step_fn: mode-specific transition samplers.
+        start: [B] int32 start nodes.
+        key: PRNG key for the whole batch.
+        walk_length: number of steps L (static).
+
+    Returns:
+        walks: [B, L + 1] int32 node indices, column 0 = start.
+        eff_len: [B] int32 effective walk lengths in [1, L + 1].
+    """
+    key_first, key_rest = jax.random.split(key)
+
+    alive0 = graph.deg[start] > 0
+    first = first_fn(key_first, start)
+    col1 = jnp.where(alive0, first, start)
+    eff0 = jnp.where(alive0, walk_length + 1, 1).astype(jnp.int32)
+
+    if walk_length == 1:
+        return jnp.stack([start, col1], axis=1), eff0
+
+    def body(carry, inp):
+        cur, prev, alive, eff = carry
+        step_idx, step_key = inp
+        has = graph.deg[cur] > 0
+        eff = jnp.where(alive & ~has, step_idx, eff)
+        alive = alive & has
+        nxt = step_fn(step_key, cur, prev)
+        nxt = jnp.where(alive, nxt, cur)
+        return (nxt, cur, alive, eff), nxt
+
+    step_ids = jnp.arange(2, walk_length + 1, dtype=jnp.int32)
+    step_keys = jax.random.split(key_rest, walk_length - 1)
+    (_, _, _, eff_len), cols = jax.lax.scan(
+        body, (col1, start, alive0, eff0), (step_ids, step_keys)
+    )
+
+    walks = jnp.concatenate(
+        [start[:, None], col1[:, None], cols.T.astype(jnp.int32)], axis=1
+    )
+    return walks, eff_len

@@ -1,0 +1,164 @@
+"""Batched transition-probability kernels.
+
+Each kernel maps a batch of walker states to *unnormalized* transition
+weights over the padded neighbor rows of the current nodes:
+
+    [B] cur, [B] prev  ->  [B, D] weights   (D = padded max degree)
+
+Sampling by inverse CDF consumes unnormalized weights directly, so the
+kernels skip the final normalization the reference performs
+(``sparse_rw.py:89``) — the sampled distribution is identical.
+
+The reference computes these per node with scalar Numba loops and a
+sorted-merge set difference (``isnotin``, ``sparse_rw.py:142-230``). The
+TPU formulation replaces the merge with a batched binary search: both
+neighbor rows are sorted (layout invariant), so membership of cur's
+neighbors in prev's row is one vmapped ``searchsorted`` plus a gather —
+fully vectorized, no data-dependent control flow.
+
+Padding safety: padded slots carry weight 0 and the sentinel index N, so
+whatever bias factor they pick up, their probability stays 0.
+"""
+import jax
+import jax.numpy as jnp
+
+from pecanpy_tpu.ops.layout import DeviceCSR
+
+_EPS = 1e-30
+
+
+def _locate_in_prev(graph: DeviceCSR, cur_nbr: jax.Array, prev: jax.Array):
+    """For each candidate x in cur's row, look x up in prev's row.
+
+    Returns:
+        found: [B, D] bool — x is a neighbor of prev.
+        prev_wgt_of: [B, D] float32 — w(prev, x), 0 where not found.
+
+    TPU replacement for the sorted-merge ``isnotin`` /
+    ``isnotin_extended`` scans (``sparse_rw.py:142-295``).
+    """
+    prev_nbr = graph.nbr[prev]  # [B, D]
+    prev_wgt = graph.wgt[prev]  # [B, D]
+    pos = jax.vmap(jnp.searchsorted)(prev_nbr, cur_nbr)  # [B, D] in [0, D]
+    pos = jnp.minimum(pos, prev_nbr.shape[1] - 1)
+    found = jnp.take_along_axis(prev_nbr, pos, axis=1) == cur_nbr
+    prev_wgt_of = jnp.where(
+        found, jnp.take_along_axis(prev_wgt, pos, axis=1), 0.0
+    )
+    return found, prev_wgt_of
+
+
+def first_order_weights(graph: DeviceCSR, cur: jax.Array) -> jax.Array:
+    """First-order transition weights: the raw edge weights w(cur, .).
+
+    Reference: ``get_normalized_probs_first_order`` (``sparse_rw.py:37-49``).
+    """
+    return graph.wgt[cur]
+
+
+def node2vec_weights(
+    graph: DeviceCSR,
+    cur: jax.Array,
+    prev: jax.Array,
+    p: float,
+    q: float,
+) -> jax.Array:
+    """Second-order node2vec biased weights.
+
+    Per the reference (``sparse_rw.py:51-91``): neighbors of cur that are
+    neither neighbors of prev nor prev itself are "out" edges and divide by
+    q; the return edge (cur -> prev) divides by p; common neighbors keep
+    their weight.
+    """
+    cur_nbr = graph.nbr[cur]  # [B, D]
+    w = graph.wgt[cur]  # [B, D]
+    found, _ = _locate_in_prev(graph, cur_nbr, prev)
+    is_prev = cur_nbr == prev[:, None]
+    is_out = ~found & ~is_prev
+    w = w * jnp.where(is_out, 1.0 / q, 1.0)
+    w = w * jnp.where(is_prev, 1.0 / p, 1.0)
+    return w
+
+
+def node2vec_plus_weights(
+    graph: DeviceCSR,
+    cur: jax.Array,
+    prev: jax.Array,
+    p: float,
+    q: float,
+) -> jax.Array:
+    """Second-order node2vec+ biased weights (the ``extend`` mode).
+
+    Follows the sparse reference kernel (``sparse_rw.py:93-130`` with
+    ``isnotin_extended`` at 233-295):
+
+    * candidate x is an out edge iff it is not a neighbor of prev, or its
+      connection to prev is loose: w(prev, x) < threshold[x];
+    * out edges get ``alpha = 1/q + (1 - 1/q) * t`` with interpolant
+      ``t = w(prev, x) / threshold[x]`` (0 for non-neighbors of prev);
+    * out edges that are themselves noisy (w(cur, x) < threshold[cur])
+      get ``alpha = min(1, 1/q)`` instead;
+    * the return edge divides by p.
+    """
+    cur_nbr = graph.nbr[cur]
+    w = graph.wgt[cur]
+    found, prev_wgt_of = _locate_in_prev(graph, cur_nbr, prev)
+    is_prev = cur_nbr == prev[:, None]
+
+    theta_x = graph.threshold[cur_nbr]  # [B, D]; sentinel slot is 1.0
+    theta_cur = graph.threshold[cur][:, None]  # [B, 1]
+
+    loose = prev_wgt_of < theta_x
+    is_out = jnp.where(found, loose, True) & ~is_prev
+
+    t = jnp.where(
+        found & is_out, prev_wgt_of / jnp.maximum(theta_x, _EPS), 0.0
+    )
+    inv_q = 1.0 / q
+    alpha = inv_q + (1.0 - inv_q) * t
+    noisy = w < theta_cur
+    alpha = jnp.where(noisy, jnp.minimum(1.0, inv_q), alpha)
+
+    w = w * jnp.where(is_out, alpha, 1.0)
+    w = w * jnp.where(is_prev, 1.0 / p, 1.0)
+    return w
+
+
+def node2vec_pp_weights(
+    graph: DeviceCSR,
+    cur: jax.Array,
+    prev: jax.Array,
+    p: float,
+    q: float,
+) -> jax.Array:
+    """Experimental node2vec++ continuous bias weights.
+
+    Mirrors ``Node2vecPlusPlus.get_normalized_probs``
+    (``experimental.py:61-102``, dense semantics, undirected assumed):
+    out edges are candidates with w(prev, x) < threshold[x] (prev excluded);
+    the interpolant t flips to ``1 - t`` when q < 1, and the bias is
+    ``alpha = t * b / (1 + (b - 1)) * |1 - 1/q| + min(1, 1/q)`` with
+    ``b = w(cur, x) / threshold[x]`` (as written in the reference the
+    b-terms cancel; kept verbatim for parity).
+    """
+    cur_nbr = graph.nbr[cur]
+    w = graph.wgt[cur]
+    _, prev_wgt_of = _locate_in_prev(graph, cur_nbr, prev)
+    is_prev = cur_nbr == prev[:, None]
+
+    theta_x = jnp.maximum(graph.threshold[cur_nbr], _EPS)
+    is_out = (prev_wgt_of < theta_x) & ~is_prev
+
+    t = jnp.clip(prev_wgt_of / theta_x, 0.0, 1.0)
+    t = jnp.where(q < 1.0, 1.0 - t, t)
+    b = w / theta_x
+
+    inv_q = 1.0 / q
+    scale = jnp.abs(1.0 - inv_q)
+    offset = jnp.minimum(1.0, inv_q)
+    # 1 + (b - 1) == b; guard against b == 0 on padded zero-weight slots
+    alpha = t * b / jnp.maximum(1.0 + (b - 1.0), _EPS) * scale + offset
+
+    w = w * jnp.where(is_out, alpha, 1.0)
+    w = w * jnp.where(is_prev, 1.0 / p, 1.0)
+    return w

@@ -1,0 +1,103 @@
+"""CLI integration tests (in-process, mirrors reference test/test_cli.py)."""
+import numpy as np
+import pytest
+
+from pecanpy_tpu import cli
+from pecanpy_tpu.graph import DenseGraph, SparseGraph
+
+
+def run_cli(*argv):
+    cli.main(list(argv))
+
+
+def test_tocsr_task(tmp_path, karate_edg):
+    out = str(tmp_path / "karate.csr.npz")
+    run_cli("--input", karate_edg, "--output", out, "--task", "tocsr")
+    g = SparseGraph()
+    g.read_npz(out, weighted=False)
+    assert g.num_nodes == 34
+
+
+def test_todense_task(tmp_path, karate_edg):
+    out = str(tmp_path / "karate.dense.npz")
+    run_cli("--input", karate_edg, "--output", out, "--task", "todense")
+    g = DenseGraph()
+    g.read_npz(out, weighted=False)
+    assert g.data.shape == (34, 34)
+
+
+@pytest.mark.parametrize("mode", ["SparseOTF", "FirstOrderUnweighted"])
+def test_end_to_end_text_output(tmp_path, karate_edg, mode):
+    out = str(tmp_path / "karate.emb")
+    run_cli(
+        "--input", karate_edg, "--output", out, "--mode", mode,
+        "--dimensions", "8", "--walk-length", "5", "--num-walks", "2",
+        "--window-size", "3", "--random_state", "0",
+    )
+    with open(out) as f:
+        header = f.readline().split()
+        assert header == ["34", "8"]
+        rows = f.readlines()
+    assert len(rows) == 34
+    assert all(len(r.split()) == 9 for r in rows)
+
+
+def test_end_to_end_npz_output(tmp_path, karate_edg):
+    out = str(tmp_path / "karate.emb.npz")
+    run_cli(
+        "--input", karate_edg, "--output", out,
+        "--dimensions", "8", "--walk-length", "5", "--num-walks", "2",
+        "--window-size", "3", "--random_state", "0",
+    )
+    raw = np.load(out)
+    assert raw["data"].shape == (34, 8)
+    assert len(raw["IDs"]) == 34
+
+
+def test_npz_input_pipeline(tmp_path, karate_edg):
+    csr = str(tmp_path / "karate.csr.npz")
+    run_cli("--input", karate_edg, "--output", csr, "--task", "tocsr")
+    out = str(tmp_path / "karate.emb.npz")
+    run_cli(
+        "--input", csr, "--output", out,
+        "--dimensions", "8", "--walk-length", "5", "--num-walks", "2",
+        "--random_state", "0",
+    )
+    assert np.load(out)["data"].shape == (34, 8)
+
+
+def test_first_order_unweighted_rejects_params(tmp_path, karate_edg):
+    out = str(tmp_path / "x.emb")
+    with pytest.raises(ValueError, match="FirstOrderUnweighted only works"):
+        run_cli(
+            "--input", karate_edg, "--output", out,
+            "--mode", "FirstOrderUnweighted", "--p", "0.5",
+        )
+
+
+def test_precomp_first_order_rejects_params(tmp_path, karate_edg):
+    out = str(tmp_path / "x.emb")
+    with pytest.raises(ValueError, match="PreCompFirstOrder only works"):
+        run_cli(
+            "--input", karate_edg, "--output", out,
+            "--mode", "PreCompFirstOrder", "--p", "0.5", "--q", "2",
+        )
+
+
+def test_directed_extend_rejected(tmp_path, karate_edg):
+    out = str(tmp_path / "x.emb")
+    with pytest.raises(NotImplementedError):
+        run_cli(
+            "--input", karate_edg, "--output", out,
+            "--directed", "--extend", "--weighted",
+        )
+
+
+def test_mode_recommendation_warning(tmp_path, karate_edg):
+    out = str(tmp_path / "x.emb.npz")
+    with pytest.warns(UserWarning, match="FirstOrderUnweighted"):
+        run_cli(
+            "--input", karate_edg, "--output", out,
+            "--dimensions", "4", "--walk-length", "3", "--num-walks", "1",
+            "--random_state", "0",
+        )

@@ -1,0 +1,86 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from pecanpy_tpu.models.sgns import SGNSConfig
+from pecanpy_tpu.ops.layout import device_csr_from_dense
+from pecanpy_tpu.parallel import mesh as mesh_lib
+from pecanpy_tpu.parallel.train import MultichipTrainer
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def test_make_mesh_shapes(eight_devices):
+    m = mesh_lib.make_mesh(8, model_parallel=2)
+    assert m.shape == {"data": 4, "model": 2}
+    m1 = mesh_lib.make_mesh(8)
+    assert m1.shape == {"data": 8, "model": 1}
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(8, model_parallel=3)
+
+
+def test_multichip_fused_step(eight_devices, rng):
+    adj = oracle.random_graph(rng, 32, mean_degree=4.0)
+    graph = device_csr_from_dense(adj)
+    m = mesh_lib.make_mesh(8, model_parallel=2)
+    config = SGNSConfig(dim=16, window=3, negative=2, seed=0)
+    trainer = MultichipTrainer(
+        mesh=m, graph=graph, config=config, walk_length=8, p=0.5, q=2.0
+    )
+    key = jax.random.PRNGKey(0)
+    w_in, w_out = trainer.init_params(key)
+    assert w_in.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+
+    counts = jnp.ones(32)
+    keep_prob = jnp.ones(32)
+    noise_cdf = jnp.cumsum(counts**0.75)
+    starts = trainer.shard_batch(np.arange(32, dtype=np.int32).repeat(2))
+
+    w_in2, w_out2 = trainer.step(
+        w_in, w_out, starts, keep_prob, noise_cdf, 0.025, key
+    )
+    assert w_in2.shape == (32, 16)
+    assert np.isfinite(np.asarray(w_in2)).all()
+    # training moved the parameters
+    assert float(jnp.abs(w_out2).sum()) > 0.0
+
+
+def test_sharded_walks_match_semantics(eight_devices, rng):
+    """Sharded walk batches still follow graph edges."""
+    adj = oracle.random_graph(rng, 16, mean_degree=4.0)
+    graph = device_csr_from_dense(adj)
+    m = mesh_lib.make_mesh(8)
+    config = SGNSConfig(dim=8, window=2, negative=2, seed=0)
+    trainer = MultichipTrainer(mesh=m, graph=graph, config=config, walk_length=5)
+
+    from pecanpy_tpu.models import engine
+    from pecanpy_tpu.ops import sampling, transition
+
+    def first_fn(k, cur):
+        w = transition.first_order_weights(trainer.graph, cur)
+        c = sampling.categorical_rows(k, w)
+        return jnp.take_along_axis(trainer.graph.nbr[cur], c[:, None], 1)[:, 0]
+
+    def step_fn(k, cur, prev):
+        w = transition.node2vec_weights(trainer.graph, cur, prev, 1.0, 1.0)
+        c = sampling.categorical_rows(k, w)
+        return jnp.take_along_axis(trainer.graph.nbr[cur], c[:, None], 1)[:, 0]
+
+    starts = trainer.shard_batch(np.tile(np.arange(16, dtype=np.int32), 4))
+    walks, eff = jax.jit(
+        lambda s, k: engine.generate_walks(
+            trainer.graph, first_fn, step_fn, s, k, 5
+        )
+    )(starts, jax.random.PRNGKey(1))
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    for row, n in zip(walks, eff):
+        for a, b in zip(row[: n - 1], row[1:n]):
+            assert adj[a, b] != 0

@@ -1,0 +1,81 @@
+"""SGNS trainer tests: shapes, determinism, and embedding quality."""
+import numpy as np
+import pytest
+
+from pecanpy_tpu import pecanpy
+from pecanpy_tpu.models import sgns
+
+
+def two_clique_graph(k=8, bridge=True):
+    """Two k-cliques joined by one bridge edge — a clean community signal."""
+    n = 2 * k
+    adj = np.zeros((n, n))
+    adj[:k, :k] = 1.0
+    adj[k:, k:] = 1.0
+    np.fill_diagonal(adj, 0.0)
+    if bridge:
+        adj[0, k] = adj[k, 0] = 1.0
+    return adj
+
+
+def test_embed_shapes_and_determinism():
+    adj = two_clique_graph()
+    ids = [str(i) for i in range(adj.shape[0])]
+    g = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    e1 = g.embed(dim=16, num_walks=4, walk_length=10, window_size=3)
+    g2 = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    e2 = g2.embed(dim=16, num_walks=4, walk_length=10, window_size=3)
+    assert e1.shape == (16, 16)
+    assert np.isfinite(e1).all()
+    np.testing.assert_allclose(e1, e2)
+
+
+def test_embeddings_separate_communities():
+    adj = two_clique_graph(k=10)
+    ids = [str(i) for i in range(adj.shape[0])]
+    g = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    walks, eff = g.simulate_walks_device(10, 20)
+    # subsampling off: on a 20-node vocabulary every node is "frequent"
+    # and gensim's formula would discard most of the tiny corpus
+    config = sgns.SGNSConfig(
+        dim=32, window=5, epochs=10, sample=0.0, seed=0, batch_pairs=1024
+    )
+    emb = np.asarray(sgns.train(walks, eff, g.num_nodes, config))
+
+    norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sim = norm @ norm.T
+    k = 10
+    within = np.concatenate(
+        [sim[:k, :k][np.triu_indices(k, 1)], sim[k:, k:][np.triu_indices(k, 1)]]
+    )
+    between = sim[:k, k:].ravel()
+    assert within.mean() > between.mean() + 0.2, (
+        f"within {within.mean():.3f} vs between {between.mean():.3f}"
+    )
+
+
+def test_counts_and_subsampling():
+    import jax.numpy as jnp
+
+    walks = jnp.asarray([[0, 1, 2, 1], [1, 1, 3, 0]], dtype=jnp.int32)
+    eff = jnp.asarray([3, 2], dtype=jnp.int32)
+    counts = np.asarray(sgns._count_tokens(walks, eff, 5))
+    np.testing.assert_array_equal(counts, [1, 3, 1, 0, 0])
+
+    keep = np.asarray(sgns._keep_probs(jnp.asarray(counts), sample=1e-3))
+    assert keep.shape == (5,)
+    assert (keep >= 0).all() and (keep <= 1).all()
+    # disabled subsampling keeps everything
+    keep_off = np.asarray(sgns._keep_probs(jnp.asarray(counts), sample=0.0))
+    np.testing.assert_array_equal(keep_off, np.ones(5))
+
+
+def test_train_handles_multiple_chunks():
+    adj = two_clique_graph(k=4)
+    ids = [str(i) for i in range(adj.shape[0])]
+    g = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    walks, eff = g.simulate_walks_device(6, 8)
+    config = sgns.SGNSConfig(dim=8, window=2, epochs=2, batch_walks=16, seed=0)
+    emb = np.asarray(sgns.train(walks, eff, g.num_nodes, config))
+    assert emb.shape == (8, 8)
+    assert np.isfinite(emb).all()
