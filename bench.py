@@ -42,6 +42,21 @@ def build_graph(n, avg_deg, seed=0):
     return indptr, v, w
 
 
+def _batch_searchsorted(a, v):
+    """Row-wise searchsorted on equal-width sorted rows (vectorized)."""
+    b, d = a.shape
+    lo = np.zeros(v.shape, dtype=np.int64)
+    hi = np.full(v.shape, d, dtype=np.int64)
+    steps = int(np.ceil(np.log2(d))) + 1
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        mid_val = np.take_along_axis(a, np.minimum(mid, d - 1), 1)
+        go_right = mid_val < v
+        lo = np.where(go_right, mid + 1, lo)
+        hi = np.where(go_right, hi, mid)
+    return lo
+
+
 def cpu_reference_steps_per_sec(nbr, wgt, deg, starts, n_steps, p, q):
     """Vectorized-numpy walker with identical transition math (baseline)."""
     rng = np.random.default_rng(1)
@@ -60,12 +75,7 @@ def cpu_reference_steps_per_sec(nbr, wgt, deg, starts, n_steps, p, q):
         w = wgt[cur].copy()
         prev_nbr = nbr[prev]
         # membership of cur's candidates in prev's sorted row
-        pos = np.minimum(
-            np.array(
-                [np.searchsorted(pn, cn) for pn, cn in zip(prev_nbr, cur_nbr)]
-            ),
-            d - 1,
-        )
+        pos = np.minimum(_batch_searchsorted(prev_nbr, cur_nbr), d - 1)
         found = np.take_along_axis(prev_nbr, pos, 1) == cur_nbr
         is_prev = cur_nbr == prev[:, None]
         w *= np.where(~found & ~is_prev, 1.0 / q, 1.0)
@@ -103,44 +113,50 @@ def main():
         file=sys.stderr,
     )
 
-    def first_fn(k, cur):
-        w = transition.first_order_weights(graph, cur)
-        c = sampling.categorical_rows(k, w)
-        return jnp.take_along_axis(graph.nbr[cur], c[:, None], 1)[:, 0]
-
-    def step_fn(k, cur, prev):
-        w = transition.node2vec_weights(graph, cur, prev, p, q)
-        c = sampling.categorical_rows(k, w)
-        return jnp.take_along_axis(graph.nbr[cur], c[:, None], 1)[:, 0]
-
     @jax.jit
-    def run(starts, key):
+    def run(g, starts, key):
+        # graph passed as an argument (closing over it would bake the
+        # arrays into the program as constants)
+        def first_fn(k, cur):
+            w = transition.first_order_weights(g, cur)
+            c = sampling.categorical_rows(k, w)
+            return jnp.take_along_axis(g.nbr[cur], c[:, None], 1)[:, 0]
+
+        def step_fn(k, cur, prev):
+            w = transition.node2vec_weights(g, cur, prev, p, q)
+            c = sampling.categorical_rows(k, w)
+            return jnp.take_along_axis(g.nbr[cur], c[:, None], 1)[:, 0]
+
         return engine.generate_walks(
-            graph, first_fn, step_fn, starts, key, walk_length
+            g, first_fn, step_fn, starts, key, walk_length
         )
 
     rng = np.random.default_rng(0)
     starts = jnp.asarray(rng.integers(0, n, walkers, dtype=np.int32))
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
-    jax.block_until_ready(run(starts, key))
+    # warmup / compile. NB: timing must force a device->host fetch —
+    # block_until_ready does not reliably block on the tunneled platform.
+    np.asarray(run(graph, starts, key)[1])
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(starts, jax.random.fold_in(key, i)))
+        np.asarray(run(graph, starts, jax.random.fold_in(key, i))[1])
         times.append(time.perf_counter() - t0)
     best = min(times)
     device_sps = walkers * walk_length / best
     print(f"device: {device_sps:.3e} steps/s (best of 3)", file=sys.stderr)
 
-    # CPU baseline on the same graph, scaled-down batch
-    nbr_host = np.asarray(graph.nbr)
-    wgt_host = np.asarray(graph.wgt)
-    deg_host = np.asarray(graph.deg)
-    cpu_starts = rng.integers(0, n, 4096, dtype=np.int64)
+    # CPU baseline on the same graph, scaled-down batch (host arrays —
+    # never transfer the padded layout back over the device link)
+    from pecanpy_tpu.ops.layout import build_padded_host
+
+    nbr_host, wgt_host, deg_host, _, _ = build_padded_host(
+        indptr, indices, data
+    )
+    cpu_starts = rng.integers(0, n, 8192, dtype=np.int64)
     cpu_sps = cpu_reference_steps_per_sec(
-        nbr_host, wgt_host, deg_host, cpu_starts, 5, p, q
+        nbr_host, wgt_host, deg_host, cpu_starts, 8, p, q
     )
     print(f"cpu baseline: {cpu_sps:.3e} steps/s", file=sys.stderr)
 

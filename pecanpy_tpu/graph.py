@@ -285,8 +285,36 @@ class SparseGraph(BaseGraph):
         weighted: bool,
         directed: bool,
         delimiter: str = "\t",
+        engine: str = "auto",
     ):
-        """Parse an edge list and store it in CSR form."""
+        """Parse an edge list and store it in CSR form.
+
+        Args:
+            engine: ``"auto"`` uses the native C++ parser when available
+                (``pecanpy_tpu.native``), falling back to the pure-Python
+                path. ``"python"`` forces the reference-parity parser
+                (per-edge warnings); ``"native"`` requires the C++ parser.
+                Both produce identical CSR output; the native parser
+                reports dropped/duplicate edges as summary warnings.
+        """
+        if engine not in ("auto", "python", "native"):
+            raise ValueError(f"unknown engine {engine!r}")
+        use_native = False
+        if engine in ("auto", "native"):
+            from pecanpy_tpu import native
+
+            use_native = native.native_available()
+            if engine == "native" and not use_native:
+                raise RuntimeError("native parser unavailable")
+        if use_native:
+            from pecanpy_tpu import native
+
+            indptr, indices, data, ids = native.parse_edgelist_native(
+                path, weighted, directed, delimiter
+            )
+            self.set_node_ids(ids)
+            self.indptr, self.indices, self.data = indptr, indices, data
+            return
         adj = AdjlstGraph()
         adj.read(path, weighted, directed, delimiter)
         self.set_node_ids(adj.nodes)

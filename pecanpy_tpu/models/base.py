@@ -105,6 +105,50 @@ class Base(BaseGraph):
             self.preprocess_transition_probs()
             self._preprocessed = True
 
+    # -- reference scalar-callback compat ------------------------------------
+
+    def get_noise_thresholds(self) -> np.ndarray:
+        """Per-node node2vec+ noise thresholds (``sparse_rw.py:22-35``)."""
+        return np.asarray(self.get_device_graph().threshold)[:-1]
+
+    def get_has_nbrs(self):
+        """Scalar has-neighbors callback (reference: ``sparse_rw.py:12-20``).
+
+        Provided for API parity; the batch engine checks degrees inline.
+        """
+        deg = np.asarray(self.get_device_graph().deg)
+
+        def has_nbrs(idx: int) -> bool:
+            return bool(deg[idx] > 0)
+
+        return has_nbrs
+
+    def get_move_forward(self):
+        """Scalar single-step callback (reference: ``pecanpy.py:384-440``).
+
+        Runs the batch-1 engine per call — useful for debugging and API
+        parity, hopeless for throughput (use ``simulate_walks_device``).
+        Each call consumes a fresh slice of the instance RNG stream.
+        """
+        self._preprocess_transition_probs()
+        dg = self.get_device_graph()
+        aux = self._walk_aux()
+        first_fn, step_fn = self.make_step_fns()
+        state = {"key": self._base_key(), "n": 0}
+
+        def move_forward(cur_idx: int, prev_idx: Optional[int] = None) -> int:
+            key = jax.random.fold_in(state["key"], state["n"])
+            state["n"] += 1
+            cur = jnp.asarray([cur_idx], dtype=jnp.int32)
+            if prev_idx is None:
+                nxt = first_fn(dg, aux, key, cur)
+            else:
+                prev = jnp.asarray([prev_idx], dtype=jnp.int32)
+                nxt = step_fn(dg, aux, key, cur, prev)
+            return int(nxt[0])
+
+        return move_forward
+
     # -- walk driver ---------------------------------------------------------
 
     def _get_walk_fn(self, walk_length: int):

@@ -180,7 +180,7 @@ class PreComp(_SparseModeBase):
         def step_fn(dg, aux, key, cur, prev):
             alias_j, alias_q = aux
             cur_nbr = dg.nbr[cur]  # [B, D]
-            pos = jax.vmap(jnp.searchsorted)(cur_nbr, prev)  # prev's slot
+            pos = transition.row_searchsorted(cur_nbr, prev[:, None])[:, 0]
             pos = jnp.minimum(pos, cur_nbr.shape[1] - 1).astype(jnp.int32)
             edge_row = dg.indptr[cur] + pos
             choice = sampling.alias_draw(

@@ -220,6 +220,9 @@ def train(
     eff_len: jax.Array,
     num_nodes: int,
     config: SGNSConfig = SGNSConfig(),
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 100,
+    max_steps: Optional[int] = None,
 ) -> jax.Array:
     """Train SGNS embeddings from device walks.
 
@@ -228,6 +231,14 @@ def train(
         eff_len: [W] int32 effective walk lengths.
         num_nodes: vocabulary size N.
         config: hyperparameters.
+        checkpoint_dir: if set, snapshot training state every
+            ``checkpoint_every`` chunk-steps and resume from the latest
+            snapshot when one exists (new capability vs. the reference,
+            which has no training checkpointing).
+        checkpoint_every: snapshot period in chunk-steps.
+        max_steps: optional chunk-step budget — stop early after this many
+            steps (combine with checkpointing to split a long run across
+            invocations; the lr schedule stays pinned to the full plan).
 
     Returns:
         [N, dim] float32 input-embedding matrix, row i = node i.
@@ -248,6 +259,22 @@ def train(
     )
     w_out = jnp.zeros((num_nodes, config.dim), dtype=jnp.float32)
 
+    ckpt = None
+    resume_step = 0
+    if checkpoint_dir is not None:
+        from pecanpy_tpu.utils.checkpoint import (
+            SGNSCheckpointer,
+            checkpointing_available,
+        )
+
+        if checkpointing_available():
+            ckpt = SGNSCheckpointer(checkpoint_dir)
+            if ckpt.latest_step() is not None:
+                w_in_np, w_out_np, meta = ckpt.restore()
+                w_in = jnp.asarray(w_in_np)
+                w_out = jnp.asarray(w_out_np)
+                resume_step = int(meta["next_step"])
+
     step = _make_step(num_nodes, walks.shape[1], config)
 
     num_walks = walks.shape[0]
@@ -259,7 +286,13 @@ def train(
     step_idx = 0
     for epoch in range(config.epochs):
         for lo in range(0, num_walks, chunk):
+            if max_steps is not None and step_idx >= max_steps:
+                break
             hi = min(lo + chunk, num_walks)
+            if step_idx < resume_step:  # replay the cursor, skip the work
+                done_tokens += float(eff_host[lo:hi].sum())
+                step_idx += 1
+                continue
             w_chunk = walks[lo:hi]
             e_chunk = eff_len[lo:hi]
             pad = chunk - (hi - lo)
@@ -284,5 +317,11 @@ def train(
             )
             done_tokens += float(eff_host[lo:hi].sum())
             step_idx += 1
+            if ckpt is not None and step_idx % checkpoint_every == 0:
+                ckpt.save(
+                    step_idx, w_in, w_out, {"next_step": step_idx}
+                )
 
+    if ckpt is not None:
+        ckpt.close()
     return w_in

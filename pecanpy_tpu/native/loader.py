@@ -1,0 +1,159 @@
+"""ctypes bindings for the native edgelist parser.
+
+Builds ``edgelist.cpp`` with g++ on first use (cached next to the source;
+rebuilt when the source is newer). Falls back cleanly: callers check
+``native_available()`` and use the pure-Python parser when the toolchain
+is missing.
+"""
+import ctypes
+import os
+import subprocess
+import threading
+import warnings
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "edgelist.cpp")
+_LIB = os.path.join(_DIR, "_edgelist.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    try:
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
+            _SRC
+        ):
+            subprocess.run(
+                [
+                    "g++",
+                    "-O3",
+                    "-std=c++17",
+                    "-shared",
+                    "-fPIC",
+                    "-o",
+                    _LIB,
+                    _SRC,
+                ],
+                check=True,
+                capture_output=True,
+                text=True,
+            )
+        lib = ctypes.CDLL(_LIB)
+    except (OSError, subprocess.CalledProcessError) as exc:
+        warnings.warn(f"native edgelist parser unavailable: {exc}")
+        _build_failed = True
+        return None
+
+    lib.pp_parse_edgelist.restype = ctypes.c_void_p
+    lib.pp_parse_edgelist.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_char_p,
+    ]
+    lib.pp_error.restype = ctypes.c_char_p
+    lib.pp_error.argtypes = [ctypes.c_void_p]
+    for name in (
+        "pp_num_nodes",
+        "pp_num_edges",
+        "pp_dropped_nonpositive",
+        "pp_duplicate_conflicts",
+        "pp_ids_bytes",
+    ):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
+    lib.pp_fill_csr.restype = None
+    lib.pp_fill_csr.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.pp_fill_ids.restype = None
+    lib.pp_fill_ids.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.pp_free.restype = None
+    lib.pp_free.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None and not _build_failed:
+        with _lock:
+            if _lib is None and not _build_failed:
+                _lib = _build()
+    return _lib
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+def parse_edgelist_native(
+    path: str,
+    weighted: bool,
+    directed: bool,
+    delimiter: str = "\t",
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[str]]:
+    """Parse an .edg file into (indptr, indices, data, node_ids).
+
+    Same contract as ``AdjlstGraph.read`` + ``to_csr`` except that
+    per-edge warnings (non-positive drops, duplicate conflicts) are
+    reported as two summary warnings with counts.
+    """
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native parser unavailable")
+
+    handle = lib.pp_parse_edgelist(
+        path.encode(), int(weighted), int(directed), delimiter.encode()
+    )
+    try:
+        err = lib.pp_error(handle)
+        if err:
+            message = err.decode()
+            if "Expecting three columns" in message:
+                raise ValueError(message)
+            raise ValueError(message)
+
+        dropped = lib.pp_dropped_nonpositive(handle)
+        if dropped:
+            warnings.warn(
+                f"Non-positive edge ignored: {dropped} edge(s) dropped",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        conflicts = lib.pp_duplicate_conflicts(handle)
+        if conflicts:
+            warnings.warn(
+                f"{conflicts} duplicate edge(s) re-specified with a "
+                "different weight; the last value wins.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+        n = lib.pp_num_nodes(handle)
+        e = lib.pp_num_edges(handle)
+        indptr = np.empty(n + 1, dtype=np.uint32)
+        indices = np.empty(e, dtype=np.uint32)
+        data = np.empty(e, dtype=np.float32)
+        lib.pp_fill_csr(
+            handle,
+            indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        nbytes = lib.pp_ids_bytes(handle)
+        raw = ctypes.create_string_buffer(int(nbytes))
+        lib.pp_fill_ids(handle, raw)
+        ids = raw.raw.decode("utf-8").split("\n")[:-1]
+        return indptr, indices, data, ids
+    finally:
+        lib.pp_free(handle)

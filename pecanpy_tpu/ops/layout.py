@@ -87,22 +87,19 @@ def _segment_stats(
     return np.maximum(thresholds, 0.0).astype(np.float32)
 
 
-def build_device_csr(
+def build_padded_host(
     indptr: np.ndarray,
     indices: np.ndarray,
     data: np.ndarray,
     gamma: float = 0.0,
     max_degree: Optional[int] = None,
-) -> DeviceCSR:
-    """Pack a host CSR triple into the padded device layout.
+):
+    """Build the padded row layout as host numpy arrays.
 
-    Args:
-        indptr: [N+1] row offsets (any integer dtype).
-        indices: [E] neighbor indices, ascending within each row.
-        data: [E] positive edge weights.
-        gamma: node2vec+ noise-threshold std multiplier.
-        max_degree: optional row width override (>= true max degree); useful
-            to keep a fixed compiled shape across graphs.
+    Returns (nbr, wgt, deg, threshold, indptr) with the same invariants as
+    ``DeviceCSR``. Used by ``build_device_csr`` and by CPU reference code
+    (e.g. the benchmark baseline) that needs the layout without a device
+    transfer.
     """
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
@@ -128,13 +125,35 @@ def build_device_csr(
     thresholds = np.concatenate(
         [_segment_stats(indptr, data, gamma), np.ones(1, dtype=np.float32)]
     )
+    return nbr, wgt, deg, thresholds, indptr.astype(np.int32)
 
+
+def build_device_csr(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    gamma: float = 0.0,
+    max_degree: Optional[int] = None,
+) -> DeviceCSR:
+    """Pack a host CSR triple into the padded device layout.
+
+    Args:
+        indptr: [N+1] row offsets (any integer dtype).
+        indices: [E] neighbor indices, ascending within each row.
+        data: [E] positive edge weights.
+        gamma: node2vec+ noise-threshold std multiplier.
+        max_degree: optional row width override (>= true max degree); useful
+            to keep a fixed compiled shape across graphs.
+    """
+    nbr, wgt, deg, thresholds, indptr32 = build_padded_host(
+        indptr, indices, data, gamma=gamma, max_degree=max_degree
+    )
     return DeviceCSR(
         nbr=jnp.asarray(nbr),
         wgt=jnp.asarray(wgt),
         deg=jnp.asarray(deg),
         threshold=jnp.asarray(thresholds),
-        indptr=jnp.asarray(indptr, dtype=jnp.int32),
+        indptr=jnp.asarray(indptr32),
     )
 
 

@@ -27,6 +27,38 @@ from pecanpy_tpu.ops.layout import DeviceCSR
 _EPS = 1e-30
 
 
+# Below this row width, all-pairs comparison ([B, D, D] elementwise on the
+# VPU) beats binary search; above it, log2(D) rounds of gathers win.
+_COMPARE_ALL_MAX_DEGREE = 128
+
+
+def row_searchsorted(a: jax.Array, v: jax.Array) -> jax.Array:
+    """Row-wise ``searchsorted``: first index where a[b, i] >= v[b, j].
+
+    Args:
+        a: [B, D] rows, each sorted ascending.
+        v: [B, D] query values.
+
+    Returns:
+        [B, D] int32 insertion positions in [0, D].
+
+    Batched binary search as a fixed log2(D) unrolled loop of
+    ``take_along_axis`` gathers. (``jnp.searchsorted`` under ``vmap``
+    lowers to a sequential scan per query — catastrophically slow on TPU.)
+    """
+    b, d = a.shape
+    lo = jnp.zeros(v.shape, dtype=jnp.int32)
+    hi = jnp.full(v.shape, d, dtype=jnp.int32)
+    # positions range over [0, d] — d + 1 values — so d.bit_length() rounds
+    for _ in range(max(d, 1).bit_length()):
+        mid = (lo + hi) // 2
+        mid_val = jnp.take_along_axis(a, jnp.minimum(mid, d - 1), axis=1)
+        go_right = mid_val < v
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
 def _locate_in_prev(graph: DeviceCSR, cur_nbr: jax.Array, prev: jax.Array):
     """For each candidate x in cur's row, look x up in prev's row.
 
@@ -35,12 +67,21 @@ def _locate_in_prev(graph: DeviceCSR, cur_nbr: jax.Array, prev: jax.Array):
         prev_wgt_of: [B, D] float32 — w(prev, x), 0 where not found.
 
     TPU replacement for the sorted-merge ``isnotin`` /
-    ``isnotin_extended`` scans (``sparse_rw.py:142-295``).
+    ``isnotin_extended`` scans (``sparse_rw.py:142-295``): for narrow rows
+    an all-pairs equality mask (one fused [B, D, D] VPU pass), for wide
+    rows a batched binary search.
     """
     prev_nbr = graph.nbr[prev]  # [B, D]
     prev_wgt = graph.wgt[prev]  # [B, D]
-    pos = jax.vmap(jnp.searchsorted)(prev_nbr, cur_nbr)  # [B, D] in [0, D]
-    pos = jnp.minimum(pos, prev_nbr.shape[1] - 1)
+    d = prev_nbr.shape[1]
+    if d <= _COMPARE_ALL_MAX_DEGREE:
+        eq = cur_nbr[:, :, None] == prev_nbr[:, None, :]  # [B, D, D]
+        found = jnp.any(eq, axis=-1)
+        prev_wgt_of = jnp.sum(
+            jnp.where(eq, prev_wgt[:, None, :], 0.0), axis=-1
+        )
+        return found, prev_wgt_of
+    pos = jnp.minimum(row_searchsorted(prev_nbr, cur_nbr), d - 1)
     found = jnp.take_along_axis(prev_nbr, pos, axis=1) == cur_nbr
     prev_wgt_of = jnp.where(
         found, jnp.take_along_axis(prev_wgt, pos, axis=1), 0.0

@@ -79,3 +79,29 @@ def test_train_handles_multiple_chunks():
     emb = np.asarray(sgns.train(walks, eff, g.num_nodes, config))
     assert emb.shape == (8, 8)
     assert np.isfinite(emb).all()
+
+
+def test_checkpoint_resume(tmp_path):
+    """Interrupted training resumes to the identical final state."""
+    from pecanpy_tpu.utils.checkpoint import checkpointing_available
+
+    if not checkpointing_available():
+        pytest.skip("orbax unavailable")
+
+    adj = two_clique_graph(k=4)
+    ids = [str(i) for i in range(adj.shape[0])]
+    g = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    walks, eff = g.simulate_walks_device(6, 8)
+    config = sgns.SGNSConfig(dim=8, window=2, epochs=4, batch_walks=16, seed=0)
+
+    # uninterrupted run
+    full = np.asarray(sgns.train(walks, eff, g.num_nodes, config))
+
+    # checkpointed run: snapshot every step, "crash" after 2 chunk-steps
+    # (same full schedule so the lr plan is identical), then resume
+    ckdir = str(tmp_path / "ck")
+    sgns.train(walks, eff, g.num_nodes, config,
+               checkpoint_dir=ckdir, checkpoint_every=1, max_steps=2)
+    resumed = np.asarray(sgns.train(walks, eff, g.num_nodes, config,
+                                    checkpoint_dir=ckdir, checkpoint_every=1))
+    np.testing.assert_allclose(full, resumed, rtol=1e-5, atol=1e-7)

@@ -174,3 +174,21 @@ def test_precomp_first_order_matches_weights(rng):
         expected = oracle.first_order_probs(adj, node)
         freq = np.array([(rows[:, 1] == nb).mean() for nb in nbrs])
         np.testing.assert_allclose(freq, expected, atol=0.07)
+
+
+def test_scalar_compat_callbacks(rng):
+    """Reference-parity scalar callbacks: has_nbrs / move_forward."""
+    adj = oracle.random_graph(rng, 8, mean_degree=3.0)
+    adj[3, :] = 0  # make node 3 a sink in the directed sense
+    adj[:, 3] = 0
+    g = make_graph(pecanpy.SparseOTF, adj, p=0.5, q=2.0, random_state=0)
+    has_nbrs = g.get_has_nbrs()
+    assert has_nbrs(3) is False
+    move = g.get_move_forward()
+    start = next(i for i in range(8) if i != 3 and adj[i].sum() > 0)
+    nxt = move(start)
+    assert adj[start, nxt] != 0
+    nxt2 = move(nxt, start)
+    assert adj[nxt, nxt2] != 0
+    thresholds = g.get_noise_thresholds()
+    assert thresholds.shape == (8,)
