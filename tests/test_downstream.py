@@ -1,0 +1,55 @@
+"""Downstream node-classification quality check.
+
+BASELINE.md's accuracy target is micro-F1 parity on BlogCatalog; with no
+network access, the stand-in is a stochastic block model whose community
+structure node2vec embeddings must recover. The classifier is a
+deliberately simple nearest-centroid over normalized embeddings — if the
+embedding geometry is right, this already separates blocks.
+"""
+import numpy as np
+import pytest
+
+from pecanpy_tpu import pecanpy
+from pecanpy_tpu.models import sgns
+
+
+def sbm_graph(rng, blocks=4, per_block=40, p_in=0.25, p_out=0.01):
+    n = blocks * per_block
+    labels = np.repeat(np.arange(blocks), per_block)
+    probs = np.where(labels[:, None] == labels[None, :], p_in, p_out)
+    upper = np.triu(rng.random((n, n)) < probs, k=1)
+    adj = (upper | upper.T).astype(float)
+    np.fill_diagonal(adj, 0.0)
+    # connect any isolated node to a random in-block peer
+    for i in np.where(adj.sum(1) == 0)[0]:
+        j = int(rng.integers(0, per_block)) + (i // per_block) * per_block
+        j = j if j != i else (j + 1) % per_block + (i // per_block) * per_block
+        adj[i, j] = adj[j, i] = 1.0
+    return adj, labels
+
+
+def micro_f1_nearest_centroid(emb, labels, rng, train_frac=0.5):
+    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    n = emb.shape[0]
+    order = rng.permutation(n)
+    split = int(train_frac * n)
+    train, test = order[:split], order[split:]
+    centroids = np.stack(
+        [emb[train][labels[train] == c].mean(0) for c in np.unique(labels)]
+    )
+    pred = np.argmax(emb[test] @ centroids.T, axis=1)
+    return (pred == labels[test]).mean()  # micro-F1 == accuracy here
+
+
+@pytest.mark.slow
+def test_sbm_community_micro_f1(rng):
+    adj, labels = sbm_graph(rng)
+    ids = [str(i) for i in range(adj.shape[0])]
+    g = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    walks, eff = g.simulate_walks_device(8, 30)
+    config = sgns.SGNSConfig(
+        dim=32, window=5, epochs=3, sample=0.0, seed=0
+    )
+    emb = np.asarray(sgns.train(walks, eff, g.num_nodes, config))
+    f1 = micro_f1_nearest_centroid(emb, labels, rng)
+    assert f1 >= 0.9, f"micro-F1 {f1:.3f} below 0.9"
