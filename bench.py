@@ -117,15 +117,17 @@ def main():
     def run(g, starts, key):
         # graph passed as an argument (closing over it would bake the
         # arrays into the program as constants)
-        def first_fn(k, cur):
-            w = transition.first_order_weights(g, cur)
+        def first_fn(k, cur, cur_rows):
+            w = transition.first_order_weights_rows(g, cur_rows)
             c = sampling.categorical_rows(k, w)
-            return jnp.take_along_axis(g.nbr[cur], c[:, None], 1)[:, 0]
+            return sampling.pick_int_columns(g.rows_nbr(cur_rows), c)
 
-        def step_fn(k, cur, prev):
-            w = transition.node2vec_weights(g, cur, prev, p, q)
+        def step_fn(k, cur, prev, cur_rows, prev_rows):
+            w = transition.node2vec_weights_rows(
+                g, cur_rows, prev_rows, prev, p, q
+            )
             c = sampling.categorical_rows(k, w)
-            return jnp.take_along_axis(g.nbr[cur], c[:, None], 1)[:, 0]
+            return sampling.pick_int_columns(g.rows_nbr(cur_rows), c)
 
         return engine.generate_walks(
             g, first_fn, step_fn, starts, key, walk_length

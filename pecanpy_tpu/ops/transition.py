@@ -1,9 +1,14 @@
-"""Batched transition-probability kernels.
+"""Batched transition-probability kernels over fused rows.
 
 Each kernel maps a batch of walker states to *unnormalized* transition
-weights over the padded neighbor rows of the current nodes:
+weights over the padded neighbor slots of the current nodes:
 
-    [B] cur, [B] prev  ->  [B, D] weights   (D = padded max degree)
+    cur_rows [B, W], prev_rows [B, W]  ->  [B, dpad] weights
+
+where the rows are channel-packed fused rows (see ``ops/layout.py``),
+pre-gathered by the walk engine and threaded through the scan carry — so a
+2nd-order step touches HBM exactly once (the gather of the *next* node's
+row), instead of the reference's four row reads per step.
 
 Sampling by inverse CDF consumes unnormalized weights directly, so the
 kernels skip the final normalization the reference performs
@@ -11,13 +16,15 @@ kernels skip the final normalization the reference performs
 
 The reference computes these per node with scalar Numba loops and a
 sorted-merge set difference (``isnotin``, ``sparse_rw.py:142-230``). The
-TPU formulation replaces the merge with a batched binary search: both
-neighbor rows are sorted (layout invariant), so membership of cur's
-neighbors in prev's row is one vmapped ``searchsorted`` plus a gather —
-fully vectorized, no data-dependent control flow.
+TPU formulation replaces the merge with an all-pairs equality mask over the
+two padded rows — one fused [B, D, D] VPU pass with no memory traffic
+(both rows are already in registers/VMEM). Padding safety: padded slots
+carry weight 0 and the sentinel index N, so whatever bias factor they pick
+up, their probability stays 0.
 
-Padding safety: padded slots carry weight 0 and the sentinel index N, so
-whatever bias factor they pick up, their probability stays 0.
+``*_rows`` kernels are the hot path; the same-named wrappers taking node
+indices (gather-then-compute) are kept for unit tests and scalar-callback
+compatibility shims.
 """
 import jax
 import jax.numpy as jnp
@@ -25,11 +32,6 @@ import jax.numpy as jnp
 from pecanpy_tpu.ops.layout import DeviceCSR
 
 _EPS = 1e-30
-
-
-# Below this row width, all-pairs comparison ([B, D, D] elementwise on the
-# VPU) beats binary search; above it, log2(D) rounds of gathers win.
-_COMPARE_ALL_MAX_DEGREE = 128
 
 
 def row_searchsorted(a: jax.Array, v: jax.Array) -> jax.Array:
@@ -59,61 +61,76 @@ def row_searchsorted(a: jax.Array, v: jax.Array) -> jax.Array:
     return lo
 
 
-def _locate_in_prev(graph: DeviceCSR, cur_nbr: jax.Array, prev: jax.Array):
+def _locate_in_prev(cur_nbr: jax.Array, prev_nbr: jax.Array,
+                    prev_wgt: jax.Array):
     """For each candidate x in cur's row, look x up in prev's row.
 
     Returns:
         found: [B, D] bool — x is a neighbor of prev.
         prev_wgt_of: [B, D] float32 — w(prev, x), 0 where not found.
 
-    TPU replacement for the sorted-merge ``isnotin`` /
-    ``isnotin_extended`` scans (``sparse_rw.py:142-295``): for narrow rows
-    an all-pairs equality mask (one fused [B, D, D] VPU pass), for wide
-    rows a batched binary search.
+    TPU replacement for the sorted-merge ``isnotin`` / ``isnotin_extended``
+    scans (``sparse_rw.py:142-295``): an all-pairs equality mask — for the
+    padded widths in play (<= a few hundred) one [B, D, D] elementwise VPU
+    pass on register-resident rows beats any memory-indirect search.
     """
-    prev_nbr = graph.nbr[prev]  # [B, D]
-    prev_wgt = graph.wgt[prev]  # [B, D]
-    d = prev_nbr.shape[1]
-    if d <= _COMPARE_ALL_MAX_DEGREE:
-        eq = cur_nbr[:, :, None] == prev_nbr[:, None, :]  # [B, D, D]
-        found = jnp.any(eq, axis=-1)
-        prev_wgt_of = jnp.sum(
-            jnp.where(eq, prev_wgt[:, None, :], 0.0), axis=-1
-        )
-        return found, prev_wgt_of
-    pos = jnp.minimum(row_searchsorted(prev_nbr, cur_nbr), d - 1)
-    found = jnp.take_along_axis(prev_nbr, pos, axis=1) == cur_nbr
-    prev_wgt_of = jnp.where(
-        found, jnp.take_along_axis(prev_wgt, pos, axis=1), 0.0
-    )
+    eq = cur_nbr[:, :, None] == prev_nbr[:, None, :]  # [B, D, D]
+    found = jnp.any(eq, axis=-1)
+    prev_wgt_of = jnp.sum(jnp.where(eq, prev_wgt[:, None, :], 0.0), axis=-1)
     return found, prev_wgt_of
 
 
-def first_order_weights(graph: DeviceCSR, cur: jax.Array) -> jax.Array:
+def row_degrees(graph: DeviceCSR, rows: jax.Array) -> jax.Array:
+    """[B] int32 true degrees, counted from the nbr channel sentinels."""
+    nbr = graph.rows_nbr(rows)
+    return jnp.sum((nbr != graph.num_nodes).astype(jnp.int32), axis=-1)
+
+
+def row_thresholds(
+    graph: DeviceCSR, rows: jax.Array, gamma: float
+) -> jax.Array:
+    """[B] noise threshold of each row's node, recomputed from its weights.
+
+    Matches ``get_noise_thresholds`` (``sparse_rw.py:22-35``): population
+    mean + gamma * std over the node's edge weights, clipped at 0. Pure VPU
+    math on the already-gathered wgt channel — no extra memory access.
+    """
+    w = graph.rows_wgt(rows)
+    deg = jnp.maximum(
+        jnp.sum((w > 0).astype(jnp.float32), axis=-1), 1.0
+    )
+    mean = jnp.sum(w, axis=-1) / deg
+    var = jnp.maximum(jnp.sum(w * w, axis=-1) / deg - mean * mean, 0.0)
+    return jnp.maximum(mean + gamma * jnp.sqrt(var), 0.0)
+
+
+def first_order_weights_rows(graph: DeviceCSR, rows: jax.Array) -> jax.Array:
     """First-order transition weights: the raw edge weights w(cur, .).
 
     Reference: ``get_normalized_probs_first_order`` (``sparse_rw.py:37-49``).
     """
-    return graph.wgt[cur]
+    return graph.rows_wgt(rows)
 
 
-def node2vec_weights(
+def node2vec_weights_rows(
     graph: DeviceCSR,
-    cur: jax.Array,
+    cur_rows: jax.Array,
+    prev_rows: jax.Array,
     prev: jax.Array,
     p: float,
     q: float,
 ) -> jax.Array:
-    """Second-order node2vec biased weights.
+    """Second-order node2vec biased weights from fused rows.
 
     Per the reference (``sparse_rw.py:51-91``): neighbors of cur that are
     neither neighbors of prev nor prev itself are "out" edges and divide by
     q; the return edge (cur -> prev) divides by p; common neighbors keep
     their weight.
     """
-    cur_nbr = graph.nbr[cur]  # [B, D]
-    w = graph.wgt[cur]  # [B, D]
-    found, _ = _locate_in_prev(graph, cur_nbr, prev)
+    cur_nbr = graph.rows_nbr(cur_rows)
+    w = graph.rows_wgt(cur_rows)
+    prev_nbr = graph.rows_nbr(prev_rows)
+    found, _ = _locate_in_prev(cur_nbr, prev_nbr, graph.rows_wgt(prev_rows))
     is_prev = cur_nbr == prev[:, None]
     is_out = ~found & ~is_prev
     w = w * jnp.where(is_out, 1.0 / q, 1.0)
@@ -121,12 +138,14 @@ def node2vec_weights(
     return w
 
 
-def node2vec_plus_weights(
+def node2vec_plus_weights_rows(
     graph: DeviceCSR,
-    cur: jax.Array,
+    cur_rows: jax.Array,
+    prev_rows: jax.Array,
     prev: jax.Array,
     p: float,
     q: float,
+    gamma: float = None,
 ) -> jax.Array:
     """Second-order node2vec+ biased weights (the ``extend`` mode).
 
@@ -140,14 +159,22 @@ def node2vec_plus_weights(
     * out edges that are themselves noisy (w(cur, x) < threshold[cur])
       get ``alpha = min(1, 1/q)`` instead;
     * the return edge divides by p.
+
+    The neighbors' thresholds come from the fused ``thr`` channel; the
+    current node's own threshold is recomputed from its wgt channel.
     """
-    cur_nbr = graph.nbr[cur]
-    w = graph.wgt[cur]
-    found, prev_wgt_of = _locate_in_prev(graph, cur_nbr, prev)
+    cur_nbr = graph.rows_nbr(cur_rows)
+    w = graph.rows_wgt(cur_rows)
+    prev_nbr = graph.rows_nbr(prev_rows)
+    found, prev_wgt_of = _locate_in_prev(
+        cur_nbr, prev_nbr, graph.rows_wgt(prev_rows)
+    )
     is_prev = cur_nbr == prev[:, None]
 
-    theta_x = graph.threshold[cur_nbr]  # [B, D]; sentinel slot is 1.0
-    theta_cur = graph.threshold[cur][:, None]  # [B, 1]
+    if gamma is None:
+        gamma = graph.gamma
+    theta_x = graph.rows_thr(cur_rows)  # [B, D]; padded slots are 1.0
+    theta_cur = row_thresholds(graph, cur_rows, gamma)[:, None]  # [B, 1]
 
     loose = prev_wgt_of < theta_x
     is_out = jnp.where(found, loose, True) & ~is_prev
@@ -165,14 +192,15 @@ def node2vec_plus_weights(
     return w
 
 
-def node2vec_pp_weights(
+def node2vec_pp_weights_rows(
     graph: DeviceCSR,
-    cur: jax.Array,
+    cur_rows: jax.Array,
+    prev_rows: jax.Array,
     prev: jax.Array,
     p: float,
     q: float,
 ) -> jax.Array:
-    """Experimental node2vec++ continuous bias weights.
+    """Experimental node2vec++ continuous bias weights from fused rows.
 
     Mirrors ``Node2vecPlusPlus.get_normalized_probs``
     (``experimental.py:61-102``, dense semantics, undirected assumed):
@@ -182,12 +210,15 @@ def node2vec_pp_weights(
     ``b = w(cur, x) / threshold[x]`` (as written in the reference the
     b-terms cancel; kept verbatim for parity).
     """
-    cur_nbr = graph.nbr[cur]
-    w = graph.wgt[cur]
-    _, prev_wgt_of = _locate_in_prev(graph, cur_nbr, prev)
+    cur_nbr = graph.rows_nbr(cur_rows)
+    w = graph.rows_wgt(cur_rows)
+    prev_nbr = graph.rows_nbr(prev_rows)
+    _, prev_wgt_of = _locate_in_prev(
+        cur_nbr, prev_nbr, graph.rows_wgt(prev_rows)
+    )
     is_prev = cur_nbr == prev[:, None]
 
-    theta_x = jnp.maximum(graph.threshold[cur_nbr], _EPS)
+    theta_x = jnp.maximum(graph.rows_thr(cur_rows), _EPS)
     is_out = (prev_wgt_of < theta_x) & ~is_prev
 
     t = jnp.clip(prev_wgt_of / theta_x, 0.0, 1.0)
@@ -203,3 +234,49 @@ def node2vec_pp_weights(
     w = w * jnp.where(is_out, alpha, 1.0)
     w = w * jnp.where(is_prev, 1.0 / p, 1.0)
     return w
+
+
+# -- index-taking wrappers (tests / scalar-compat paths; not walk-hot) -------
+
+
+def first_order_weights(graph: DeviceCSR, cur: jax.Array) -> jax.Array:
+    """Gather-then-compute wrapper around ``first_order_weights_rows``."""
+    return first_order_weights_rows(graph, graph.gather_rows(cur))
+
+
+def node2vec_weights(
+    graph: DeviceCSR, cur: jax.Array, prev: jax.Array, p: float, q: float
+) -> jax.Array:
+    """Gather-then-compute wrapper around ``node2vec_weights_rows``."""
+    return node2vec_weights_rows(
+        graph, graph.gather_rows(cur), graph.gather_rows(prev), prev, p, q
+    )
+
+
+def node2vec_plus_weights(
+    graph: DeviceCSR,
+    cur: jax.Array,
+    prev: jax.Array,
+    p: float,
+    q: float,
+    gamma: float = None,
+) -> jax.Array:
+    """Gather-then-compute wrapper around ``node2vec_plus_weights_rows``."""
+    return node2vec_plus_weights_rows(
+        graph,
+        graph.gather_rows(cur),
+        graph.gather_rows(prev),
+        prev,
+        p,
+        q,
+        gamma,
+    )
+
+
+def node2vec_pp_weights(
+    graph: DeviceCSR, cur: jax.Array, prev: jax.Array, p: float, q: float
+) -> jax.Array:
+    """Gather-then-compute wrapper around ``node2vec_pp_weights_rows``."""
+    return node2vec_pp_weights_rows(
+        graph, graph.gather_rows(cur), graph.gather_rows(prev), prev, p, q
+    )

@@ -56,11 +56,11 @@ class MultichipTrainer:
         return jax.device_put(jnp.asarray(starts), self._batch_sharding)
 
     def _build_step(self) -> Callable:
-        p, q, extend = self.p, self.q, self.extend
+        p, q = self.p, self.q
         kernel = (
-            transition.node2vec_plus_weights
-            if extend
-            else transition.node2vec_weights
+            transition.node2vec_plus_weights_rows
+            if self.extend
+            else transition.node2vec_weights_rows
         )
         walk_length = self.walk_length
         sgns_body = sgns.make_step_body(self.graph.num_nodes, self.config)
@@ -68,15 +68,15 @@ class MultichipTrainer:
         def fused_step(graph, w_in, w_out, starts, keep_prob, noise_cdf, lr, key):
             k_walk, k_sgns = jax.random.split(key)
 
-            def first_fn(k, cur):
-                w = transition.first_order_weights(graph, cur)
+            def first_fn(k, cur, cur_rows):
+                w = transition.first_order_weights_rows(graph, cur_rows)
                 c = sampling.categorical_rows(k, w)
-                return jnp.take_along_axis(graph.nbr[cur], c[:, None], 1)[:, 0]
+                return sampling.pick_int_columns(graph.rows_nbr(cur_rows), c)
 
-            def step_fn(k, cur, prev):
-                w = kernel(graph, cur, prev, p, q)
+            def step_fn(k, cur, prev, cur_rows, prev_rows):
+                w = kernel(graph, cur_rows, prev_rows, prev, p, q)
                 c = sampling.categorical_rows(k, w)
-                return jnp.take_along_axis(graph.nbr[cur], c[:, None], 1)[:, 0]
+                return sampling.pick_int_columns(graph.rows_nbr(cur_rows), c)
 
             walks, eff = engine.generate_walks(
                 graph, first_fn, step_fn, starts, k_walk, walk_length

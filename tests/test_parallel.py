@@ -64,15 +64,17 @@ def test_sharded_walks_match_semantics(eight_devices, rng):
     from pecanpy_tpu.models import engine
     from pecanpy_tpu.ops import sampling, transition
 
-    def first_fn(k, cur):
-        w = transition.first_order_weights(trainer.graph, cur)
+    def first_fn(k, cur, cur_rows):
+        w = transition.first_order_weights_rows(trainer.graph, cur_rows)
         c = sampling.categorical_rows(k, w)
-        return jnp.take_along_axis(trainer.graph.nbr[cur], c[:, None], 1)[:, 0]
+        return sampling.pick_int_columns(trainer.graph.rows_nbr(cur_rows), c)
 
-    def step_fn(k, cur, prev):
-        w = transition.node2vec_weights(trainer.graph, cur, prev, 1.0, 1.0)
+    def step_fn(k, cur, prev, cur_rows, prev_rows):
+        w = transition.node2vec_weights_rows(
+            trainer.graph, cur_rows, prev_rows, prev, 1.0, 1.0
+        )
         c = sampling.categorical_rows(k, w)
-        return jnp.take_along_axis(trainer.graph.nbr[cur], c[:, None], 1)[:, 0]
+        return sampling.pick_int_columns(trainer.graph.rows_nbr(cur_rows), c)
 
     starts = trainer.shard_batch(np.tile(np.arange(16, dtype=np.int32), 4))
     walks, eff = jax.jit(
