@@ -23,7 +23,7 @@ import numpy as np
 
 from pecanpy_tpu.graph import BaseGraph
 from pecanpy_tpu.models import engine
-from pecanpy_tpu.ops.layout import DeviceCSR
+from pecanpy_tpu.ops.layout import DEFAULT_DEGREE_CAP, DeviceCSR
 from pecanpy_tpu.typing import Embeddings
 from pecanpy_tpu.wrappers import Timer
 
@@ -45,6 +45,9 @@ class Base(BaseGraph):
         random_state: seed for start-node shuffling and the device RNG tree.
         walker_batch: walkers advanced per device dispatch (compiled batch
             size; larger = better device utilization, more memory).
+        degree_cap: nodes above this degree are served by the O(E) hub
+            structures + rejection sampling instead of fused rows
+            (``ops/hubs.py``); None pads fused rows to the true max degree.
     """
 
     def __init__(
@@ -57,8 +60,10 @@ class Base(BaseGraph):
         gamma: float = 0,
         random_state: Optional[int] = None,
         walker_batch: int = DEFAULT_WALKER_BATCH,
+        degree_cap: Optional[int] = DEFAULT_DEGREE_CAP,
     ):
         super().__init__()
+        self.degree_cap = degree_cap
         self.p = p
         self.q = q
         self.workers = workers

@@ -14,11 +14,13 @@ class Node2vecPlusPlus(_DenseModeBase):
     """
 
     def _build_device_graph(self):
-        # Always pack the neighbor-threshold channel (independent of extend)
+        # Always pack the neighbor-threshold channel (independent of
+        # extend); dense-only mode, so fused rows stay uncapped.
         from pecanpy_tpu.ops.layout import device_csr_from_dense
 
         return device_csr_from_dense(
-            self.data, gamma=self.gamma, with_thresholds=True
+            self.data, gamma=self.gamma, with_thresholds=True,
+            degree_cap=None,
         )
 
     def make_step_fns(self):

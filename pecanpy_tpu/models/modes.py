@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from pecanpy_tpu.graph import DenseGraph, SparseGraph
 from pecanpy_tpu.models.base import Base
-from pecanpy_tpu.ops import sampling, transition
+from pecanpy_tpu.ops import rejection, sampling, transition
 from pecanpy_tpu.ops.layout import (
     DeviceCSR,
     build_device_csr,
@@ -37,6 +37,7 @@ class _SparseModeBase(Base, SparseGraph):
             gamma=self.gamma,
             with_thresholds=self.extend,
             with_cdf=self._needs_cdf_channel,
+            degree_cap=self.degree_cap,
         )
 
 
@@ -51,6 +52,7 @@ class _DenseModeBase(Base, DenseGraph):
             gamma=self.gamma,
             with_thresholds=self.extend,
             with_cdf=self._needs_cdf_channel,
+            degree_cap=self.degree_cap,
         )
 
 
@@ -65,18 +67,29 @@ def _otf_step_fns(p: float, q: float, extend: bool):
     """On-the-fly transition sampling: bias kernel + inverse-CDF draw.
 
     Semantics of the reference OTF move (``pecanpy.py:543-559``), batched.
+    Steps touching a hub node run the exact rejection sampler instead of
+    the fused kernel (``ops/rejection.py``); graphs without hubs compile
+    the fused path only.
     """
     kernel = _pick_kernel(extend)
 
     def first_fn(dg, aux, key, cur, cur_rows):
-        weights = transition.first_order_weights_rows(dg, cur_rows)
-        choice = sampling.categorical_rows(key, weights)
-        return sampling.pick_int_columns(dg.rows_nbr(cur_rows), choice)
+        x, _ = rejection.propose(dg, key, cur_rows)
+        return x
 
     def step_fn(dg, aux, key, cur, prev, cur_rows, prev_rows):
+        k_fused, k_rej = jax.random.split(key)
         weights = kernel(dg, cur_rows, prev_rows, prev, p, q)
-        choice = sampling.categorical_rows(key, weights)
-        return sampling.pick_int_columns(dg.rows_nbr(cur_rows), choice)
+        choice = sampling.categorical_rows(k_fused, weights)
+        nxt = sampling.pick_int_columns(dg.rows_nbr(cur_rows), choice)
+        if dg.has_hubs:
+            use_rej = dg.rows_is_hub(cur_rows) | dg.rows_is_hub(prev_rows)
+            nxt_rej = rejection.second_order_sample(
+                dg, k_rej, cur, prev, cur_rows, prev_rows, p, q, extend,
+                use_rej,
+            )
+            nxt = jnp.where(use_rej, nxt_rej, nxt)
+        return nxt
 
     return first_fn, step_fn
 
@@ -109,19 +122,11 @@ class FirstOrderUnweighted(_SparseModeBase):
     """
 
     def make_step_fns(self):
-        def move(dg, key, cur_rows):
-            nbr = dg.rows_nbr(cur_rows)
-            deg = transition.row_degrees(dg, cur_rows)
-            kk = jax.random.randint(
-                key, deg.shape, 0, jnp.maximum(deg, 1)
-            ).astype(jnp.int32)
-            return sampling.pick_int_columns(nbr, kk)
-
         def first_fn(dg, aux, key, cur, cur_rows):
-            return move(dg, key, cur_rows)
+            return rejection.uniform_propose(dg, key, cur_rows)
 
         def step_fn(dg, aux, key, cur, prev, cur_rows, prev_rows):
-            return move(dg, key, cur_rows)
+            return rejection.uniform_propose(dg, key, cur_rows)
 
         return first_fn, step_fn
 
@@ -143,8 +148,8 @@ class PreCompFirstOrder(_SparseModeBase):
 
     def make_step_fns(self):
         def move(dg, key, cur_rows):
-            choice = sampling.sample_from_cdf(key, dg.rows_cdf(cur_rows))
-            return sampling.pick_int_columns(dg.rows_nbr(cur_rows), choice)
+            x, _ = rejection.propose(dg, key, cur_rows, use_cdf=True)
+            return x
 
         def first_fn(dg, aux, key, cur, cur_rows):
             return move(dg, key, cur_rows)
@@ -175,6 +180,9 @@ class PreComp(_SparseModeBase):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
+        # per-edge tables are Sigma deg^2 anyway — capping buys nothing,
+        # and the edge-id addressing needs full-width fused rows
+        self.degree_cap = None
         self.edge_cdf = None
 
     def preprocess_transition_probs(self):

@@ -35,11 +35,13 @@ Layout invariants (the transition kernels rely on all of these):
 * ``cdf`` channel (PreComp* modes) holds the normalized inclusive CDF of the
   node's first-order transition distribution; padding 1.0.
 
-Degree skew note: rows are padded to the max degree (rounded up to 64
-lanes). On power-law graphs with huge hubs this explodes — the same reason
-the reference splits PreComp/SparseOTF/DenseOTF modes; a hub-splitting /
-bucketed layout is the planned extension. The layout abstraction boundary
-(everything goes through ``DeviceCSR`` accessors) keeps that change local.
+Degree skew: rows are padded to ``min(max_degree, degree_cap)`` (rounded
+up to 64 lanes). Nodes above the cap — the power-law hubs that would blow
+up an O(N * max_degree) padded layout — store a 4-slot marker instead and
+are served by O(E) flat structures (packed alias rows + bucketized
+neighbor hashes, ``ops/hubs.py``) driving exact rejection sampling
+(``ops/rejection.py``). Graphs whose max degree fits the cap compile the
+pure fused path (``has_hubs`` is static).
 """
 import dataclasses
 from typing import Optional, Tuple
@@ -48,11 +50,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pecanpy_tpu.ops import hubs as hubs_lib
+
 LANE = 64  # fused channel width granularity (f32 lanes; fast-gather floor)
+
+# Nodes above this degree leave the fused table for the flat hub structures
+# (see ops/hubs.py). 128 keeps the fused all-pairs membership test cheap on
+# the VPU while covering the bulk of nodes on real power-law graphs.
+DEFAULT_DEGREE_CAP = 128
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _empty_pack():
+    return jnp.empty((0, hubs_lib.EP_WIDTH), dtype=jnp.float32)
+
+
+def _empty_bucket_i():
+    return jnp.empty((0, hubs_lib.BUCKET_WIDTH), dtype=jnp.int32)
+
+
+def _empty_bucket_f():
+    return jnp.empty((0, hubs_lib.BUCKET_WIDTH), dtype=jnp.float32)
 
 
 @jax.tree_util.register_dataclass
@@ -78,12 +99,17 @@ class DeviceCSR:
     deg: jax.Array
     threshold: jax.Array
     indptr: jax.Array
+    # hub structures (empty arrays when has_hubs is False; see ops/hubs.py)
+    edge_pack: jax.Array = dataclasses.field(default_factory=_empty_pack)
+    hkey8: jax.Array = dataclasses.field(default_factory=_empty_bucket_i)
+    hval8: jax.Array = dataclasses.field(default_factory=_empty_bucket_f)
     channels: Tuple[str, ...] = dataclasses.field(
         metadata=dict(static=True), default=("nbr", "wgt")
     )
     dpad: int = dataclasses.field(metadata=dict(static=True), default=LANE)
     max_degree: int = dataclasses.field(metadata=dict(static=True), default=0)
     gamma: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    has_hubs: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def num_nodes(self) -> int:
@@ -122,6 +148,36 @@ class DeviceCSR:
     def gather_rows(self, idx: jax.Array) -> jax.Array:
         """Fetch fused rows for a batch of node indices (THE hot gather)."""
         return self.fused[idx]
+
+    # -- hub-row decoding (see ops/hubs.py for the encoding) ------------------
+
+    def rows_is_hub(self, rows: jax.Array) -> jax.Array:
+        """[B] bool — the row belongs to a hub (degree > degree_cap) node."""
+        return self.rows_nbr(rows)[:, 0] > self.num_nodes
+
+    def rows_degree(self, rows: jax.Array) -> jax.Array:
+        """[B] int32 true degree, decoding hub markers."""
+        nbr = self.rows_nbr(rows)
+        counted = jnp.sum((nbr != self.num_nodes).astype(jnp.int32), axis=-1)
+        hub_deg = nbr[:, 0] - (self.num_nodes + 1)
+        return jnp.where(nbr[:, 0] > self.num_nodes, hub_deg, counted)
+
+    def rows_edge_base(self, rows: jax.Array) -> jax.Array:
+        """[B] int32 base row into edge_pack (hub rows only)."""
+        return self.rows_nbr(rows)[:, 1]
+
+    def rows_hash_meta(self, rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """[B] (base bucket row, log2 bucket count) of the hub hashes."""
+        nbr = self.rows_nbr(rows)
+        return nbr[:, 2], nbr[:, 3]
+
+    def rows_hub_threshold(self, rows: jax.Array) -> jax.Array:
+        """[B] noise threshold stored in hub rows (wgt channel slot 0)."""
+        return self.rows_wgt(rows)[:, 0]
+
+    def rows_hub_wsum(self, rows: jax.Array) -> jax.Array:
+        """[B] total edge weight stored in hub rows (wgt channel slot 1)."""
+        return self.rows_wgt(rows)[:, 1]
 
     # -- whole-table views (preprocessing / tests; not walk-hot) -------------
 
@@ -224,6 +280,7 @@ def build_device_csr(
     max_degree: Optional[int] = None,
     with_thresholds: bool = False,
     with_cdf: bool = False,
+    degree_cap: Optional[int] = DEFAULT_DEGREE_CAP,
 ) -> DeviceCSR:
     """Pack a host CSR triple into the fused device layout.
 
@@ -232,44 +289,96 @@ def build_device_csr(
         indices: [E] neighbor indices, ascending within each row.
         data: [E] positive edge weights.
         gamma: node2vec+ noise-threshold std multiplier.
-        max_degree: optional degree override (>= true max degree); useful to
-            keep a fixed compiled shape across graphs.
+        max_degree: optional fused row-width override; useful to keep a
+            fixed compiled shape across graphs.
         with_thresholds: add the per-neighbor noise-threshold channel
             (node2vec+ / node2vec++ modes).
         with_cdf: add the per-node first-order CDF channel (PreComp* modes).
+        degree_cap: nodes above this degree become *hubs*, served by the
+            O(E) flat structures + rejection sampling instead of fused rows
+            (see ops/hubs.py). None disables capping (the fused table is
+            padded to the true max degree — only sane for small graphs).
     """
-    nbr, wgt, deg, thresholds, indptr32 = build_padded_host(
-        indptr, indices, data, gamma=gamma, max_degree=max_degree
-    )
-    num_nodes, width = nbr.shape
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    data = np.asarray(data, dtype=np.float32)
+    num_nodes = indptr.size - 1
+    deg = np.diff(indptr).astype(np.int32)
+    true_max = int(deg.max()) if deg.size and deg.max() > 0 else 1
+
+    has_hubs = degree_cap is not None and true_max > degree_cap
+    width = min(true_max, degree_cap) if has_hubs else true_max
+    if max_degree is not None:
+        if max_degree < width:
+            raise ValueError(
+                f"max_degree={max_degree} is below the fused width {width}"
+            )
+        width = max_degree
     dpad = _round_up(max(width, 1), LANE)
 
+    thresholds = np.concatenate(
+        [_segment_stats(indptr, data, gamma), np.ones(1, dtype=np.float32)]
+    )
+
     nbr_p = np.full((num_nodes, dpad), num_nodes, dtype=np.int32)
-    nbr_p[:, :width] = nbr
     wgt_p = np.zeros((num_nodes, dpad), dtype=np.float32)
-    wgt_p[:, :width] = wgt
+    is_hub_node = deg > degree_cap if has_hubs else np.zeros(num_nodes, bool)
+    if indices.size:
+        row_of_edge = np.repeat(np.arange(num_nodes), deg)
+        col_of_edge = np.arange(indices.size) - indptr[row_of_edge]
+        keep = ~is_hub_node[row_of_edge]
+        nbr_p[row_of_edge[keep], col_of_edge[keep]] = indices[keep]
+        wgt_p[row_of_edge[keep], col_of_edge[keep]] = data[keep]
+
+    hub_kwargs = {}
+    if has_hubs:
+        hub_ids = np.nonzero(is_hub_node)[0]
+        edge_pack, hub_base = hubs_lib.build_edge_pack(
+            indptr, indices, data, hub_ids
+        )
+        hkey8, hval8, bucket_base, bucket_log = hubs_lib.build_bucket_hash(
+            indptr, indices, data, hub_ids
+        )
+        # marker encoding (see ops/hubs.py HUB_MARKER_SLOTS)
+        nbr_p[hub_ids, 0] = num_nodes + 1 + deg[hub_ids]
+        nbr_p[hub_ids, 1] = hub_base
+        nbr_p[hub_ids, 2] = bucket_base
+        nbr_p[hub_ids, 3] = bucket_log
+        wgt_p[hub_ids, 0] = thresholds[hub_ids]
+        csum = np.concatenate([[0.0], np.cumsum(data, dtype=np.float64)])
+        wgt_p[hub_ids, 1] = (
+            csum[indptr[hub_ids + 1]] - csum[indptr[hub_ids]]
+        ).astype(np.float32)
+        hub_kwargs = dict(
+            edge_pack=jnp.asarray(edge_pack),
+            hkey8=jnp.asarray(hkey8),
+            hval8=jnp.asarray(hval8),
+        )
 
     channels_data = [("nbr", nbr_p), ("wgt", wgt_p)]
     if with_thresholds:
         thr_p = np.ones((num_nodes, dpad), dtype=np.float32)
-        thr_p[:, :width] = thresholds[np.minimum(nbr, num_nodes)]
+        small = ~is_hub_node
+        thr_p[small] = thresholds[np.minimum(nbr_p[small], num_nodes)]
         channels_data.append(("thr", thr_p))
     if with_cdf:
         cdf = np.cumsum(wgt_p, axis=1, dtype=np.float64)
         total = np.maximum(cdf[:, -1:], 1e-30)
         cdf_p = np.minimum(cdf / total, 1.0).astype(np.float32)
-        cdf_p[:, width:] = 1.0
+        cdf_p[is_hub_node] = 1.0  # hub rows draw from the alias tables
         channels_data.append(("cdf", cdf_p))
 
     return DeviceCSR(
         fused=jnp.asarray(pack_fused_host(channels_data)),
         deg=jnp.asarray(deg),
         threshold=jnp.asarray(thresholds),
-        indptr=jnp.asarray(indptr32),
+        indptr=jnp.asarray(indptr.astype(np.int32)),
         channels=tuple(name for name, _ in channels_data),
         dpad=dpad,
-        max_degree=width,
+        max_degree=true_max,
         gamma=gamma,
+        has_hubs=has_hubs,
+        **hub_kwargs,
     )
 
 
@@ -279,6 +388,7 @@ def device_csr_from_dense(
     max_degree: Optional[int] = None,
     with_thresholds: bool = False,
     with_cdf: bool = False,
+    degree_cap: Optional[int] = DEFAULT_DEGREE_CAP,
 ) -> DeviceCSR:
     """Build the fused layout from a dense adjacency matrix.
 
@@ -298,4 +408,5 @@ def device_csr_from_dense(
         max_degree=max_degree,
         with_thresholds=with_thresholds,
         with_cdf=with_cdf,
+        degree_cap=degree_cap,
     )

@@ -1,0 +1,218 @@
+"""Hub (degree > cap) structures and the rejection-sampling walk path.
+
+Forcing a tiny ``degree_cap`` on small random graphs routes most steps
+through the flat alias + hash + rejection machinery (``ops/hubs.py``,
+``ops/rejection.py``), which must reproduce the exact same transition
+distributions as the fused kernels / the numpy oracle.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from pecanpy_tpu import pecanpy
+from pecanpy_tpu.ops import hubs, rejection
+from pecanpy_tpu.ops.layout import device_csr_from_dense
+
+CAP = 6  # far below the mean degree -> most nodes become hubs
+
+
+def hub_graph(rng, n=14, mean_degree=8.0, weighted=True, **kwargs):
+    adj = oracle.random_graph(rng, n, mean_degree=mean_degree, weighted=weighted)
+    return adj, device_csr_from_dense(adj, degree_cap=CAP, **kwargs)
+
+
+def test_capped_layout_markers(rng):
+    adj, g = hub_graph(rng)
+    n = adj.shape[0]
+    assert g.has_hubs
+    deg = np.asarray(g.deg)
+    nbr = np.asarray(g.rows_nbr(g.fused))
+    seen_base = -1
+    for i in range(n):
+        if deg[i] > CAP:
+            assert nbr[i, 0] == n + 1 + deg[i]
+            assert nbr[i, 1] > seen_base  # edge_pack bases strictly grow
+            seen_base = nbr[i, 1]
+        else:
+            row = nbr[i][nbr[i] != n]
+            np.testing.assert_array_equal(np.sort(row), np.nonzero(adj[i])[0])
+
+
+def test_edge_pack_alias_exact(rng):
+    """Packed alias rows must imply the exact first-order distribution."""
+    adj, g = hub_graph(rng)
+    n = adj.shape[0]
+    deg = np.asarray(g.deg)
+    pack = np.asarray(g.edge_pack)
+    packi = pack.view(np.int32)
+    nbr = np.asarray(g.rows_nbr(g.fused))
+    for u in np.nonzero(deg > CAP)[0]:
+        base, k = nbr[u, 1], deg[u]
+        mass = np.zeros(n)
+        for s in range(base, base + k):
+            mass[packi[s, 1]] += pack[s, 0]  # self slot, prob q
+            mass[packi[s, 3]] += 1.0 - pack[s, 0]  # alias target
+        expected = np.zeros(n)
+        expected[np.nonzero(adj[u])[0]] = oracle.first_order_probs(adj, u) * k
+        np.testing.assert_allclose(mass, expected, rtol=1e-5, atol=1e-5)
+        # packed weights must be the true edge weights
+        for s in range(base, base + k):
+            np.testing.assert_allclose(pack[s, 2], adj[u, packi[s, 1]])
+            np.testing.assert_allclose(pack[s, 4], adj[u, packi[s, 3]])
+
+
+def test_hub_hash_membership(rng):
+    adj, g = hub_graph(rng)
+    n = adj.shape[0]
+    deg = np.asarray(g.deg)
+    hub_ids = np.nonzero(deg > CAP)[0]
+    assert hub_ids.size > 0
+    rows = g.gather_rows(jnp.asarray(hub_ids, dtype=jnp.int32))
+    for x in range(n):
+        found, wpx = jax.jit(rejection.membership)(
+            g, jnp.full((hub_ids.size,), x, dtype=jnp.int32), rows
+        )
+        for i, u in enumerate(hub_ids):
+            assert bool(found[i]) == bool(adj[u, x] != 0), f"{u=} {x=}"
+            np.testing.assert_allclose(float(wpx[i]), adj[u, x], rtol=1e-6)
+
+
+def test_membership_against_small_rows(rng):
+    """The carried-row compare path of membership (prev below the cap)."""
+    adj, g = hub_graph(rng)
+    n = adj.shape[0]
+    deg = np.asarray(g.deg)
+    small_ids = np.nonzero((deg > 0) & (deg <= CAP))[0]
+    if small_ids.size == 0:
+        pytest.skip("no small nodes in fixture")
+    rows = g.gather_rows(jnp.asarray(small_ids, dtype=jnp.int32))
+    for x in range(n):
+        found, wpx = jax.jit(rejection.membership)(
+            g, jnp.full((small_ids.size,), x, dtype=jnp.int32), rows
+        )
+        for i, u in enumerate(small_ids):
+            assert bool(found[i]) == bool(adj[u, x] != 0)
+            np.testing.assert_allclose(float(wpx[i]), adj[u, x], rtol=1e-6)
+
+
+def test_propose_matches_first_order(rng):
+    """Proposal draws (hub alias + fused CDF select) ~ w(cur, .)."""
+    adj, g = hub_graph(rng, n=10)
+    reps = 4000
+    for u in range(adj.shape[0]):
+        if np.asarray(g.deg)[u] == 0:
+            continue
+        cur = jnp.full((reps,), u, dtype=jnp.int32)
+        rows = g.gather_rows(cur)
+        x, wx = jax.jit(rejection.propose)(g, jax.random.PRNGKey(u), rows)
+        x = np.asarray(x)
+        expected = oracle.first_order_probs(adj, u)
+        nbrs = np.nonzero(adj[u])[0]
+        freq = np.array([(x == nb).mean() for nb in nbrs])
+        np.testing.assert_allclose(freq, expected, atol=0.05)
+        # returned weights must be the true edge weights
+        np.testing.assert_allclose(
+            np.asarray(wx), adj[u, x], rtol=1e-6
+        )
+
+
+@pytest.mark.parametrize("p,q,extend", [(0.5, 2.0, False), (1.0, 0.5, True)])
+def test_hub_second_order_distribution(p, q, extend, rng):
+    """Walks through hub nodes follow the exact 2nd-order law."""
+    adj = oracle.random_graph(rng, 8, mean_degree=5.0, weighted=True)
+    ids = [str(i) for i in range(8)]
+    g = pecanpy.SparseOTF.from_mat(
+        adj, ids, p=p, q=q, extend=extend, gamma=0.0, random_state=11,
+        degree_cap=CAP,
+    )
+    assert g.get_device_graph().has_hubs
+    walks, eff = g.simulate_walks_device(num_walks=700, walk_length=4)
+    walks, eff = np.asarray(walks), np.asarray(eff)
+
+    counts = {}
+    for row, m in zip(walks, eff):
+        for j in range(2, m):
+            counts.setdefault((row[j - 2], row[j - 1]), []).append(row[j])
+
+    checked = 0
+    for (prev, cur), nxts in counts.items():
+        if len(nxts) < 400:
+            continue
+        nbrs = np.nonzero(adj[cur])[0]
+        if extend:
+            expected = oracle.node2vec_plus_probs(adj, cur, prev, p, q, 0.0)
+        else:
+            expected = oracle.node2vec_probs(adj, cur, prev, p, q)
+        freq = np.array([(np.array(nxts) == nb).mean() for nb in nbrs])
+        np.testing.assert_allclose(
+            freq, expected, atol=4.5 * np.sqrt(0.25 / len(nxts)),
+            err_msg=f"cur={cur} prev={prev} n={len(nxts)}",
+        )
+        checked += 1
+    assert checked >= 3, "not enough high-count transitions to test"
+
+
+def test_hub_walks_follow_edges(rng):
+    for mode_cls, weighted in [
+        (pecanpy.SparseOTF, True),
+        (pecanpy.FirstOrderUnweighted, False),
+        (pecanpy.PreCompFirstOrder, True),
+    ]:
+        adj = oracle.random_graph(rng, 12, mean_degree=8.0, weighted=weighted)
+        ids = [str(i) for i in range(12)]
+        g = mode_cls.from_mat(adj, ids, random_state=0, degree_cap=CAP)
+        walks, eff = g.simulate_walks_device(2, 6)
+        walks, eff = np.asarray(walks), np.asarray(eff)
+        for row, n in zip(walks, eff):
+            for a, b in zip(row[: n - 1], row[1:n]):
+                assert adj[a, b] != 0, f"{mode_cls.__name__}: non-edge {a}->{b}"
+
+
+def test_first_order_hub_modes_distribution(rng):
+    adj = oracle.random_graph(rng, 8, mean_degree=6.0, weighted=True)
+    ids = [str(i) for i in range(8)]
+    g = pecanpy.PreCompFirstOrder.from_mat(
+        adj, ids, random_state=2, degree_cap=CAP
+    )
+    walks, eff = g.simulate_walks_device(num_walks=900, walk_length=3)
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    for node in range(8):
+        nbrs = np.nonzero(adj[node])[0]
+        if nbrs.size < 2:
+            continue
+        rows = walks[(walks[:, 0] == node) & (eff > 1)]
+        expected = oracle.first_order_probs(adj, node)
+        freq = np.array([(rows[:, 1] == nb).mean() for nb in nbrs])
+        np.testing.assert_allclose(freq, expected, atol=0.07)
+
+
+def test_no_hubs_static_path(rng):
+    """degree_cap above the max degree compiles the pure fused engine."""
+    adj = oracle.random_graph(rng, 10, mean_degree=3.0)
+    g = device_csr_from_dense(adj, degree_cap=128)
+    assert not g.has_hubs
+    assert g.edge_pack.size == 0 and g.hkey8.size == 0
+
+
+def test_bucket_hash_contains_every_key(rng):
+    """Every hub neighbor must sit in exactly its hashed bucket."""
+    n = 50
+    adj = oracle.random_graph(rng, n, mean_degree=20.0)
+    rows_, cols = np.nonzero(adj)
+    deg = np.bincount(rows_, minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(deg)])
+    hub_ids = np.nonzero(deg > 8)[0]
+    wgt = adj[rows_, cols].astype(np.float32)
+    hkey8, hval8, bbase, blog = hubs.build_bucket_hash(
+        indptr, cols, wgt, hub_ids
+    )
+    for i, u in enumerate(hub_ids):
+        mask = (1 << blog[i]) - 1
+        for e in range(indptr[u], indptr[u + 1]):
+            x = cols[e]
+            bucket = bbase[i] + int(hubs.hub_hash(np.int64(x), mask))
+            slots = np.nonzero(hkey8[bucket] == x)[0]
+            assert slots.size == 1, f"key {x} of hub {u} not in its bucket"
+            np.testing.assert_allclose(hval8[bucket, slots[0]], wgt[e])
