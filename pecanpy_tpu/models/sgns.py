@@ -2,7 +2,7 @@
 
 Replaces the reference's external gensim ``Word2Vec`` dependency
 (``pecanpy.py:279-288``, ``cli.py:310-319``) with a from-scratch JAX
-implementation whose training dynamics mirror gensim's skip-gram path:
+implementation whose training recipe mirrors gensim's skip-gram path:
 
 * vocabulary = graph node indices (min_count=0 semantics: every node
   appears in the walks because every node starts ``num_walks`` walks);
@@ -12,27 +12,49 @@ implementation whose training dynamics mirror gensim's skip-gram path:
 * per-position reduced windows: effective window ~ U{1..window};
 * for a pair (center, context), the *input* vector is the context word's
   row of W_in and the *output* is the center word's row of W_out, matching
-  gensim's ``train_sg_pair``; negatives are drawn from the unigram^0.75
+  gensim's ``train_sg_pair``; negatives come from the unigram^0.75
   distribution, collisions with the center masked out;
 * linear learning-rate decay from ``alpha`` to ``min_alpha`` over the
   total token count across epochs.
 
-Where gensim runs hogwild C threads racing on shared arrays, this trainer
-runs jitted minibatch SGD: each step consumes a chunk of walks, expands it
-into a static-shaped pair tensor on device, and applies one fused
-gather -> dot (MXU) -> scatter-add update with donated parameter buffers.
+The execution model is TPU-first ("walk-structured"): where gensim's C
+threads race scalar updates pair by pair, here a chunk of walks trains in
+one fused device step that never materializes per-pair rows:
+
+1. embedding rows are gathered once per *walk token* ([Wb, T, dim], the
+   fast-path row gather) — every window pair reuses them, cutting memory
+   traffic ~20x versus per-pair gathers;
+2. all window interactions are shifted tensor products on the walk
+   tensor (VPU) — the 2W offsets are a static Python loop of slices;
+3. negatives draw independently per walk token from a pre-built,
+   shuffled unigram^0.75 table (the original word2vec's InitUnigramTable
+   recast for TPU: one randint + one gather instead of a CDF search per
+   draw); a token's ``negative`` draws serve all of its window pairs;
+4. per-row updates apply through ``ops.apply.apply_mean_updates``: XLA's
+   TPU scatter is ~1000x too slow for [N, dim] tables, so a Pallas
+   kernel streams the table through VMEM and folds the (sorted) updates
+   in — one table read+write per step. Each row moves by the *mean* of
+   its gradient contributions in the chunk (equal to plain SGD when a
+   row appears once; stable, gensim-sequential-like when it repeats).
 """
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pecanpy_tpu.ops.apply import apply_mean_updates
+
 
 @dataclasses.dataclass(frozen=True)
 class SGNSConfig:
-    """Hyperparameters; defaults match the reference CLI / gensim defaults."""
+    """Hyperparameters; defaults match the reference CLI / gensim defaults.
+
+    ``batch_walks=None`` resolves to ~32 update applications per epoch
+    (clamped to [16, 4096]) — small corpora take many small steps
+    (gensim-like dynamics), large corpora get full device batches.
+    """
 
     dim: int = 128
     window: int = 10
@@ -41,11 +63,9 @@ class SGNSConfig:
     alpha: float = 0.025
     min_alpha: float = 0.0001
     sample: float = 1e-3
-    batch_walks: int = 512
-    # Pairs per SGD sub-batch. None = adaptive: ~8 pairs per vocabulary row
-    # (clamped to [256, 8192]) so small graphs take many small sequential
-    # steps (gensim-like dynamics) while large graphs get full-width
-    # device batches.
+    batch_walks: Optional[int] = None
+    update_cap: float = 4.0
+    # unused (pre-walk-structured trainer); kept for call compatibility
     batch_pairs: Optional[int] = None
     seed: Optional[int] = None
 
@@ -72,146 +92,178 @@ def _keep_probs(counts: jax.Array, sample: float) -> jax.Array:
     return jnp.clip(keep, 0.0, 1.0)
 
 
-def make_step_body(num_nodes: int, config: SGNSConfig):
+def resolve_batch_walks(
+    config: SGNSConfig, num_nodes: int, walk_cols: int
+) -> int:
+    """Walks per update application.
+
+    Sized so one application carries ~max(2048, N) window pairs — enough
+    to fill the device, few enough that most rows see a handful of
+    gradient contributions per application (fresh-gradient dynamics).
+    """
+    if config.batch_walks is not None:
+        return config.batch_walks
+    target_pairs = max(2048, num_nodes)
+    per_walk = max(walk_cols * min(config.window, walk_cols), 1)
+    return int(np.clip(-(-target_pairs // per_walk), 1, 4096))
+
+
+def build_negative_table(
+    counts: np.ndarray, size: int = 1 << 22, seed: int = 0
+) -> np.ndarray:
+    """Shuffled unigram^0.75 sampling table (word2vec InitUnigramTable).
+
+    Proportional fill by cumulative mass, then a random permutation so a
+    block of consecutive slots reads as iid draws. One randint + one
+    gather replaces a CDF binary search per negative sample.
+    """
+    counts = np.asarray(counts, dtype=np.float64)
+    p = counts**0.75
+    p = p / max(p.sum(), 1e-30)
+    grid = (np.arange(size) + 0.5) / size
+    table = np.searchsorted(np.cumsum(p), grid).astype(np.int32)
+    table = np.minimum(table, counts.size - 1)
+    np.random.default_rng(seed).shuffle(table)
+    return table
+
+
+def make_step_body(num_nodes: int, config: SGNSConfig, use_pallas: bool = False):
     """Build the pure (unjitted) per-chunk training step.
 
     Exposed separately so the multi-device path can jit it under a mesh
-    with sharding annotations (``pecanpy_tpu.parallel``).
+    with sharding annotations (``pecanpy_tpu.parallel``; that path keeps
+    the XLA scatter applier — the Pallas applier is single-device).
     """
     window = config.window
-    negative = config.negative
-    batch_pairs = config.batch_pairs
-    if batch_pairs is None:
-        batch_pairs = min(8192, max(256, num_nodes * 8))
-    offsets = np.concatenate(
-        [np.arange(-window, 0), np.arange(1, window + 1)]
-    ).astype(np.int32)  # [2W]
+    k_neg = config.negative
+    cap = config.update_cap
 
-    def step(w_in, w_out, walks, eff_len, keep_prob, noise_cdf, lr, key):
+    def step(w_in, w_out, walks, eff_len, keep_prob, neg_table, lr, key):
         wb, t = walks.shape
-        k_sub, k_win, k_neg = jax.random.split(key, 3)
+        dim = w_in.shape[1]
+        key_sub, key_win, key_neg = jax.random.split(key, 3)
 
-        # 1. Subsample: prune dropped tokens, compact each walk left.
-        u = jax.random.uniform(k_sub, (wb, t))
-        in_walk = jnp.arange(t)[None, :] < eff_len[:, None]
+        # 1. Subsample: prune dropped tokens, compact each walk left
+        #    (sort-based — XLA scatter-free).
+        u = jax.random.uniform(key_sub, (wb, t))
+        in_walk = jnp.arange(t) < eff_len[:, None]
         keep = in_walk & (u < keep_prob[walks])
-        new_pos = jnp.cumsum(keep, axis=1) - 1
-        rows = jnp.broadcast_to(jnp.arange(wb)[:, None], (wb, t))
-        compacted = (
-            jnp.zeros((wb, t), dtype=walks.dtype)
-            .at[rows, jnp.where(keep, new_pos, t)]
-            .set(walks, mode="drop")
+        pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (wb, t))
+        sort_key = jnp.where(keep, pos, pos + t)  # kept first, order stable
+        _, comp = jax.lax.sort((sort_key, walks), dimension=1, num_keys=1)
+        m = jnp.sum(keep, axis=1)  # [Wb] compacted lengths
+
+        # 2. Reduced windows per center position: effective ~ U{1..window}.
+        eff_win = window - jax.random.randint(key_win, (wb, t), 0, window)
+
+        # 3. One row gather per walk token (both tables).
+        v = w_in[comp]  # [Wb, T, dim]
+        uo = w_out[comp]
+
+        # 4. Per-token negatives from the shuffled unigram^0.75 table.
+        slots = jax.random.randint(
+            key_neg, (wb, t, k_neg), 0, neg_table.shape[0]
         )
-        new_eff = jnp.sum(keep, axis=1)  # [Wb]
+        negs = neg_table[slots]  # [Wb, T, K]
+        u_neg = w_out[negs]  # [Wb, T, K, dim]
+        g_neg = jax.nn.sigmoid(
+            jnp.einsum("btd,btkd->btk", v, u_neg)
+        )  # sigma(v_ctx . u_neg), per context token
 
-        # 2. Reduced windows per center position.
-        reduced = jax.random.randint(k_win, (wb, t), 0, window)
-        eff_window = window - reduced  # in [1, window]
+        # 5. Window interactions: static loop over offsets, two pair sets
+        #    per offset (center left / center right), everything VPU-local.
+        dv = jnp.zeros((wb, t, dim))
+        du = jnp.zeros((wb, t, dim))
+        cnt_v = jnp.zeros((wb, t))
+        cnt_u = jnp.zeros((wb, t))
+        a_v = jnp.zeros((wb, t, k_neg))  # negative coeffs per ctx token
+        c_v = jnp.zeros((wb, t, k_neg))  # their contribution counts
 
-        # 3. Expand to the static pair tensor [Wb, T, 2W].
-        pos = jnp.arange(t, dtype=jnp.int32)[None, :, None]
-        ctx_pos = pos + offsets[None, None, :]
-        limit = new_eff[:, None, None]
-        pair_ok = (
-            (ctx_pos >= 0)
-            & (ctx_pos < limit)
-            & (pos < limit)
-            & (jnp.abs(offsets)[None, None, :] <= eff_window[:, :, None])
+        def pad_lo(x, o):  # re-align a [:, o:] slice back to width t
+            return jnp.pad(x, ((0, 0), (o, 0)) + ((0, 0),) * (x.ndim - 2))
+
+        def pad_hi(x, o):  # re-align a [:, :t-o] slice back to width t
+            return jnp.pad(x, ((0, 0), (0, o)) + ((0, 0),) * (x.ndim - 2))
+
+        for o in range(1, window + 1):
+            if o >= t:
+                break
+            ok = jnp.arange(o, t)[None, :] < m[:, None]  # both ends valid
+            v_hi, v_lo = v[:, o:], v[:, :-o]
+            u_hi, u_lo = uo[:, o:], uo[:, :-o]
+
+            # pair set A: center at t (low side), context at t+o;
+            # negatives belong to the CONTEXT token, the collision mask
+            # compares them against the pair's CENTER token
+            pm_a = (ok & (o <= eff_win[:, :-o])).astype(jnp.float32)
+            g_a = (jax.nn.sigmoid(jnp.sum(v_hi * u_lo, -1)) - 1.0) * pm_a
+            du += pad_hi(g_a[..., None] * v_hi, o)
+            dv += pad_lo(g_a[..., None] * u_lo, o)
+            cnt_u += pad_hi(pm_a, o)
+            cnt_v += pad_lo(pm_a, o)
+            m_a = (negs[:, o:] != comp[:, :-o, None]).astype(jnp.float32)
+            a_v += pad_lo(pm_a[..., None] * m_a * g_neg[:, o:], o)
+            c_v += pad_lo(pm_a[..., None] * m_a, o)
+
+            # pair set B: center at t+o (high side), context at t
+            pm_b = (ok & (o <= eff_win[:, o:])).astype(jnp.float32)
+            g_b = (jax.nn.sigmoid(jnp.sum(v_lo * u_hi, -1)) - 1.0) * pm_b
+            du += pad_lo(g_b[..., None] * v_lo, o)
+            dv += pad_hi(g_b[..., None] * u_hi, o)
+            cnt_u += pad_lo(pm_b, o)
+            cnt_v += pad_hi(pm_b, o)
+            m_b = (negs[:, :-o] != comp[:, o:, None]).astype(jnp.float32)
+            a_v += pad_hi(pm_b[..., None] * m_b * g_neg[:, :-o], o)
+            c_v += pad_hi(pm_b[..., None] * m_b, o)
+
+        # negative-side gradients: the context rows get the accumulated
+        # pull away from their negatives; each negative row collects the
+        # symmetric push from its context token
+        dv = dv + jnp.einsum("btk,btkd->btd", a_v, u_neg)
+        du_neg = a_v[..., None] * v[:, :, None, :]  # [Wb, T, K, dim]
+
+        # 6. Apply: capped gradient sums per row, scatter-free on TPU.
+        ids_tok = comp.reshape(-1)
+        w_in = apply_mean_updates(
+            w_in,
+            ids_tok,
+            dv.reshape(-1, dim),
+            cnt_v.reshape(-1),
+            lr,
+            use_pallas=use_pallas,
+            cap=cap,
         )
-        center = jnp.broadcast_to(
-            compacted[:, :, None], (wb, t, offsets.shape[0])
+        # center and negative contributions are separate normalization
+        # groups (as in per-role sequential SGD): folding them into one
+        # mean lets the 5x more numerous negative pushes dominate every
+        # W_out row and the embedding space collapses to one direction
+        w_out = apply_mean_updates(
+            w_out,
+            ids_tok,
+            du.reshape(-1, dim),
+            cnt_u.reshape(-1),
+            lr,
+            use_pallas=use_pallas,
+            cap=cap,
         )
-        context = compacted[
-            rows[:, :, None], jnp.clip(ctx_pos, 0, t - 1)
-        ]
-
-        mask = pair_ok.reshape(-1).astype(jnp.float32)  # [P]
-        center = center.reshape(-1)
-        context = context.reshape(-1)
-        p = center.shape[0]
-
-        # 4. Negatives from the unigram^0.75 table; collisions masked.
-        total_mass = noise_cdf[-1]
-        draws = jax.random.uniform(k_neg, (p, negative)) * total_mass
-        negs = jnp.searchsorted(noise_cdf, draws).astype(jnp.int32)
-        negs = jnp.minimum(negs, num_nodes - 1)
-        neg_mask = (negs != center[:, None]).astype(jnp.float32)
-
-        # 5. SGNS updates over pair sub-batches. Gensim applies each pair
-        #    sequentially (hogwild); applying the whole walk chunk as one
-        #    summed update diverges (a node appearing k times in the chunk
-        #    sees an effective lr of k * alpha). Scanning sub-batches of
-        #    bounded size restores gensim-like dynamics while keeping one
-        #    device dispatch per chunk.
-        sub = min(batch_pairs, p)
-        n_sub = -(-p // sub)
-        pad_to = n_sub * sub
-
-        def pad(x):
-            width = [(0, pad_to - p)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, width).reshape((n_sub, sub) + x.shape[1:])
-
-        drop = num_nodes  # out-of-range sentinel: masked rows scatter nowhere
-        ctx_idx = pad(jnp.where(mask > 0, context, drop))
-        cen_idx = pad(jnp.where(mask > 0, center, drop))
-        neg_idx = pad(jnp.where((mask[:, None] * neg_mask) > 0, negs, drop))
-        mask_s = pad(mask)
-        neg_mask_s = pad(neg_mask)
-
-        def row_scale(idx, weight):
-            """1 / (occurrences of idx's row in this sub-batch), per element.
-
-            A row hit k times in one scatter would take a k * lr step with
-            stale gradients — the source of divergence on small vocabularies.
-            Scaling each contribution by 1/k turns the accumulated update
-            into the per-row gradient *mean*: identical to plain SGD when
-            rows don't repeat, stable (gensim-sequential-like) when they do.
-            """
-            counts = jnp.zeros(num_nodes + 1).at[idx].add(weight, mode="drop")
-            return 1.0 / jnp.maximum(counts[idx], 1.0)
-
-        def sub_step(carry, batch):
-            w_in, w_out = carry
-            ctx, cen, ngs, m, nm = batch
-            v = w_in[ctx]  # [S, d] (sentinel gathers clamp; grads masked)
-            u_pos = w_out[cen]
-            u_neg = w_out[ngs]  # [S, K, d]
-
-            g_pos = (jax.nn.sigmoid(jnp.sum(v * u_pos, axis=-1)) - 1.0) * m
-            s_neg = jnp.einsum("pd,pkd->pk", v, u_neg)
-            g_neg = jax.nn.sigmoid(s_neg) * m[:, None] * nm
-
-            dv = g_pos[:, None] * u_pos + jnp.einsum("pk,pkd->pd", g_neg, u_neg)
-            du_pos = g_pos[:, None] * v
-            du_neg = g_neg[:, :, None] * v[:, None, :]
-
-            dv = dv * row_scale(ctx, m)[:, None]
-            du_pos = du_pos * row_scale(cen, m)[:, None]
-            ngs_flat = ngs.reshape(-1)
-            nm_flat = (m[:, None] * nm).reshape(-1)
-            du_neg = du_neg.reshape(-1, du_neg.shape[-1]) * row_scale(
-                ngs_flat, nm_flat
-            )[:, None]
-
-            w_in = w_in.at[ctx].add(-lr * dv, mode="drop")
-            w_out = w_out.at[cen].add(-lr * du_pos, mode="drop")
-            w_out = w_out.at[ngs_flat].add(-lr * du_neg, mode="drop")
-            return (w_in, w_out), None
-
-        (w_in, w_out), _ = jax.lax.scan(
-            sub_step,
-            (w_in, w_out),
-            (ctx_idx, cen_idx, neg_idx, mask_s, neg_mask_s),
+        w_out = apply_mean_updates(
+            w_out,
+            negs.reshape(-1),
+            du_neg.reshape(-1, dim),
+            c_v.reshape(-1),
+            lr,
+            use_pallas=use_pallas,
+            cap=cap,
         )
         return w_in, w_out
 
     return step
 
 
-def _make_step(num_nodes: int, walk_cols: int, config: SGNSConfig):
+def _make_step(num_nodes: int, config: SGNSConfig, use_pallas: bool):
     """Jitted single-device training step with donated parameter buffers."""
     return jax.jit(
-        make_step_body(num_nodes, config), donate_argnums=(0, 1)
+        make_step_body(num_nodes, config, use_pallas), donate_argnums=(0, 1)
     )
 
 
@@ -251,7 +303,9 @@ def train(
 
     counts = _count_tokens(walks, eff_len, num_nodes)
     keep_prob = _keep_probs(counts, config.sample)
-    noise_cdf = jnp.cumsum(counts**0.75)
+    neg_table = jnp.asarray(
+        build_negative_table(np.asarray(counts), seed=seed)
+    )
 
     bound = 0.5 / config.dim
     w_in = jax.random.uniform(
@@ -275,10 +329,13 @@ def train(
                 w_out = jnp.asarray(w_out_np)
                 resume_step = int(meta["next_step"])
 
-    step = _make_step(num_nodes, walks.shape[1], config)
+    use_pallas = jax.default_backend() == "tpu"
+    step = _make_step(num_nodes, config, use_pallas)
 
     num_walks = walks.shape[0]
-    chunk = min(config.batch_walks, num_walks)
+    chunk = min(
+        resolve_batch_walks(config, num_nodes, walks.shape[1]), num_walks
+    )
     eff_host = np.asarray(eff_len)
     total_tokens = float(eff_host.sum()) * config.epochs
     done_tokens = 0.0
@@ -311,7 +368,7 @@ def train(
                 w_chunk,
                 e_chunk,
                 keep_prob,
-                noise_cdf,
+                neg_table,
                 jnp.float32(lr),
                 jax.random.fold_in(k_train, step_idx),
             )

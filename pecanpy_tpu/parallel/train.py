@@ -65,7 +65,7 @@ class MultichipTrainer:
         walk_length = self.walk_length
         sgns_body = sgns.make_step_body(self.graph.num_nodes, self.config)
 
-        def fused_step(graph, w_in, w_out, starts, keep_prob, noise_cdf, lr, key):
+        def fused_step(graph, w_in, w_out, starts, keep_prob, neg_table, lr, key):
             k_walk, k_sgns = jax.random.split(key)
 
             def first_fn(k, cur, cur_rows):
@@ -82,7 +82,7 @@ class MultichipTrainer:
                 graph, first_fn, step_fn, starts, k_walk, walk_length
             )
             w_in, w_out = sgns_body(
-                w_in, w_out, walks, eff, keep_prob, noise_cdf, lr, k_sgns
+                w_in, w_out, walks, eff, keep_prob, neg_table, lr, k_sgns
             )
             return w_in, w_out
 
@@ -102,9 +102,13 @@ class MultichipTrainer:
             donate_argnums=(1, 2),
         )
 
-    def step(self, w_in, w_out, starts, keep_prob, noise_cdf, lr, key):
-        """One fused walk + SGNS update step."""
+    def step(self, w_in, w_out, starts, keep_prob, neg_table, lr, key):
+        """One fused walk + SGNS update step.
+
+        ``neg_table`` is a shuffled unigram^0.75 sampling table
+        (``sgns.build_negative_table``), replicated across the mesh.
+        """
         return self._step(
-            self.graph, w_in, w_out, starts, keep_prob, noise_cdf,
+            self.graph, w_in, w_out, starts, keep_prob, neg_table,
             jnp.float32(lr), key,
         )

@@ -39,13 +39,12 @@ def test_multichip_fused_step(eight_devices, rng):
     w_in, w_out = trainer.init_params(key)
     assert w_in.sharding.spec == jax.sharding.PartitionSpec(None, "model")
 
-    counts = jnp.ones(32)
     keep_prob = jnp.ones(32)
-    noise_cdf = jnp.cumsum(counts**0.75)
+    neg_table = jnp.arange(32, dtype=jnp.int32)  # uniform negatives
     starts = trainer.shard_batch(np.arange(32, dtype=np.int32).repeat(2))
 
     w_in2, w_out2 = trainer.step(
-        w_in, w_out, starts, keep_prob, noise_cdf, 0.025, key
+        w_in, w_out, starts, keep_prob, neg_table, 0.025, key
     )
     assert w_in2.shape == (32, 16)
     assert np.isfinite(np.asarray(w_in2)).all()
