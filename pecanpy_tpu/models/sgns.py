@@ -24,8 +24,10 @@ one fused device step that never materializes per-pair rows:
 1. embedding rows are gathered once per *walk token* ([Wb, T, dim], the
    fast-path row gather) — every window pair reuses them, cutting memory
    traffic ~20x versus per-pair gathers;
-2. all window interactions are shifted tensor products on the walk
-   tensor (VPU) — the 2W offsets are a static Python loop of slices;
+2. all window interactions happen as banded batched matmuls on the
+   walk tensor: scores = v @ u^T per walk ([T, T], masked to the
+   window band), gradients flow back as two more [T, T] x [T, dim]
+   matmuls — pure MXU work, no per-offset accumulator passes;
 3. negatives draw independently per walk token from a pre-built,
    shuffled unigram^0.75 table (the original word2vec's InitUnigramTable
    recast for TPU: one randint + one gather instead of a CDF search per
@@ -170,51 +172,41 @@ def make_step_body(num_nodes: int, config: SGNSConfig, use_pallas: bool = False)
             jnp.einsum("btd,btkd->btk", v, u_neg)
         )  # sigma(v_ctx . u_neg), per context token
 
-        # 5. Window interactions: static loop over offsets, two pair sets
-        #    per offset (center left / center right), everything VPU-local.
-        dv = jnp.zeros((wb, t, dim))
-        du = jnp.zeros((wb, t, dim))
-        cnt_v = jnp.zeros((wb, t))
-        cnt_u = jnp.zeros((wb, t))
-        a_v = jnp.zeros((wb, t, k_neg))  # negative coeffs per ctx token
-        c_v = jnp.zeros((wb, t, k_neg))  # their contribution counts
+        # 5. Window interactions as banded batched matmuls. With T <= ~100
+        #    the full [T, T] score matrix is tiny for the MXU and avoids
+        #    2W read-modify-write passes over [Wb, T, dim] accumulators.
+        #    pm[b, i, j] = pair (center i, context j) is trained.
+        ti = jnp.arange(t)
+        dist = jnp.abs(ti[:, None] - ti[None, :])  # [T, T]
+        valid_tok = ti[None, :] < m[:, None]  # [Wb, T]
+        pm = (
+            (dist[None] >= 1)
+            & (dist[None] <= eff_win[:, :, None])  # window of the center i
+            & valid_tok[:, :, None]
+            & valid_tok[:, None, :]
+        ).astype(jnp.float32)  # [Wb, T, T]
 
-        def pad_lo(x, o):  # re-align a [:, o:] slice back to width t
-            return jnp.pad(x, ((0, 0), (o, 0)) + ((0, 0),) * (x.ndim - 2))
+        scores = jnp.einsum(
+            "bjd,bid->bij", v, uo, preferred_element_type=jnp.float32
+        )  # s[i, j] = v_ctx(j) . u_cen(i)
+        g_pos = (jax.nn.sigmoid(scores) - 1.0) * pm  # [Wb, T, T]
 
-        def pad_hi(x, o):  # re-align a [:, :t-o] slice back to width t
-            return jnp.pad(x, ((0, 0), (0, o)) + ((0, 0),) * (x.ndim - 2))
+        du = jnp.einsum("bij,bjd->bid", g_pos, v)
+        dv = jnp.einsum("bij,bid->bjd", g_pos, uo)
+        cnt_u = jnp.sum(pm, axis=2)  # pairs as center
+        cnt_v = jnp.sum(pm, axis=1)  # pairs as context
 
-        for o in range(1, window + 1):
-            if o >= t:
-                break
-            ok = jnp.arange(o, t)[None, :] < m[:, None]  # both ends valid
-            v_hi, v_lo = v[:, o:], v[:, :-o]
-            u_hi, u_lo = uo[:, o:], uo[:, :-o]
-
-            # pair set A: center at t (low side), context at t+o;
-            # negatives belong to the CONTEXT token, the collision mask
-            # compares them against the pair's CENTER token
-            pm_a = (ok & (o <= eff_win[:, :-o])).astype(jnp.float32)
-            g_a = (jax.nn.sigmoid(jnp.sum(v_hi * u_lo, -1)) - 1.0) * pm_a
-            du += pad_hi(g_a[..., None] * v_hi, o)
-            dv += pad_lo(g_a[..., None] * u_lo, o)
-            cnt_u += pad_hi(pm_a, o)
-            cnt_v += pad_lo(pm_a, o)
-            m_a = (negs[:, o:] != comp[:, :-o, None]).astype(jnp.float32)
-            a_v += pad_lo(pm_a[..., None] * m_a * g_neg[:, o:], o)
-            c_v += pad_lo(pm_a[..., None] * m_a, o)
-
-            # pair set B: center at t+o (high side), context at t
-            pm_b = (ok & (o <= eff_win[:, o:])).astype(jnp.float32)
-            g_b = (jax.nn.sigmoid(jnp.sum(v_lo * u_hi, -1)) - 1.0) * pm_b
-            du += pad_lo(g_b[..., None] * v_lo, o)
-            dv += pad_hi(g_b[..., None] * u_hi, o)
-            cnt_u += pad_lo(pm_b, o)
-            cnt_v += pad_hi(pm_b, o)
-            m_b = (negs[:, :-o] != comp[:, o:, None]).astype(jnp.float32)
-            a_v += pad_hi(pm_b[..., None] * m_b * g_neg[:, :-o], o)
-            c_v += pad_hi(pm_b[..., None] * m_b, o)
+        # negative coefficients per (context token, neg slot): every pair
+        # (i, j) contributes g_neg[j, k] unless neg k collides with the
+        # pair's center token i
+        coll = (
+            comp[:, :, None, None] == negs[:, None, :, :]
+        )  # [Wb, I, J, K]
+        pair_cnt = cnt_v[:, :, None] - jnp.einsum(
+            "bij,bijk->bjk", pm, coll.astype(jnp.float32)
+        )  # pairs per (j, k) surviving the collision mask
+        a_v = g_neg * pair_cnt
+        c_v = pair_cnt
 
         # negative-side gradients: the context rows get the accumulated
         # pull away from their negatives; each negative row collects the
