@@ -27,7 +27,7 @@ from pecanpy_tpu.ops.layout import DEFAULT_DEGREE_CAP, DeviceCSR
 from pecanpy_tpu.typing import Embeddings
 from pecanpy_tpu.wrappers import Timer
 
-DEFAULT_WALKER_BATCH = 32768
+DEFAULT_WALKER_BATCH = 131072
 
 
 class Base(BaseGraph):
