@@ -15,7 +15,10 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "edgelist.cpp")
+_SRCS = [
+    os.path.join(_DIR, "edgelist.cpp"),
+    os.path.join(_DIR, "hubtables.cpp"),
+]
 _LIB = os.path.join(_DIR, "_edgelist.so")
 
 _lock = threading.Lock()
@@ -26,20 +29,13 @@ _build_failed = False
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
     try:
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
-            _SRC
-        ):
+        stale = not os.path.exists(_LIB) or any(
+            os.path.getmtime(_LIB) < os.path.getmtime(src) for src in _SRCS
+        )
+        if stale:
             subprocess.run(
-                [
-                    "g++",
-                    "-O3",
-                    "-std=c++17",
-                    "-shared",
-                    "-fPIC",
-                    "-o",
-                    _LIB,
-                    _SRC,
-                ],
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB]
+                + _SRCS,
                 check=True,
                 capture_output=True,
                 text=True,
@@ -80,6 +76,31 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.pp_fill_ids.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.pp_free.restype = None
     lib.pp_free.argtypes = [ctypes.c_void_p]
+
+    lib.pp_build_hub_tables.restype = ctypes.c_void_p
+    lib.pp_build_hub_tables.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
+    for name in ("pp_hub_edge_rows", "pp_hub_buckets"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
+    lib.pp_hub_fill.restype = None
+    lib.pp_hub_fill.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.pp_hub_free.restype = None
+    lib.pp_hub_free.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -157,3 +178,49 @@ def parse_edgelist_native(
         return indptr, indices, data, ids
     finally:
         lib.pp_free(handle)
+
+
+def build_hub_tables_native(indptr, indices, data, hub_ids):
+    """Native (C++) hub-structure builder; see ops/hubs.py for semantics.
+
+    Returns (edge_pack [E_hub, 8] f32, hub_base [n_hubs] i32,
+    hkey8 [NB, 8] i32, hval8 [NB, 8] f32, bucket_base, bucket_log) —
+    byte-identical to the Python builders.
+    """
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native hub builder unavailable")
+
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    hub_ids = np.ascontiguousarray(hub_ids, dtype=np.int32)
+
+    handle = lib.pp_build_hub_tables(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        hub_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        hub_ids.size,
+    )
+    try:
+        e_hub = lib.pp_hub_edge_rows(handle)
+        nb = lib.pp_hub_buckets(handle)
+        edge_pack = np.empty((e_hub, 8), dtype=np.float32)
+        hub_base = np.empty(hub_ids.size, dtype=np.int32)
+        hkey = np.empty((nb, 8), dtype=np.int32)
+        hval = np.empty((nb, 8), dtype=np.float32)
+        bucket_base = np.empty(hub_ids.size, dtype=np.int32)
+        bucket_log = np.empty(hub_ids.size, dtype=np.int32)
+        lib.pp_hub_fill(
+            handle,
+            edge_pack.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            hub_base.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            hkey.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            hval.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            bucket_base.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            bucket_log.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return edge_pack, hub_base, hkey, hval, bucket_base, bucket_log
+    finally:
+        lib.pp_hub_free(handle)

@@ -167,3 +167,30 @@ def build_bucket_hash(
         hkey8 = np.empty((0, BUCKET_WIDTH), dtype=np.int32)
         hval8 = np.empty((0, BUCKET_WIDTH), dtype=np.float32)
     return hkey8, hval8, bucket_base, bucket_log
+
+
+def build_hub_structures(indptr, indices, data, hub_ids):
+    """All hub structures in one call, native (C++) when available.
+
+    Returns (edge_pack, hub_base, hkey8, hval8, bucket_base, bucket_log).
+    The native builder (``native/hubtables.cpp``) is ~100x faster; hash
+    tables are byte-identical, alias rows are equivalent exact Vose
+    constructions (tie-breaking near q == 1 can differ with float
+    summation order). The Python builders remain the portable reference
+    and the fallback when no toolchain is present.
+    """
+    try:
+        from pecanpy_tpu.native.loader import (
+            build_hub_tables_native,
+            native_available,
+        )
+
+        if native_available():
+            return build_hub_tables_native(indptr, indices, data, hub_ids)
+    except Exception:  # fall back to the Python reference builders
+        pass
+    edge_pack, hub_base = build_edge_pack(indptr, indices, data, hub_ids)
+    hkey8, hval8, bucket_base, bucket_log = build_bucket_hash(
+        indptr, indices, data, hub_ids
+    )
+    return edge_pack, hub_base, hkey8, hval8, bucket_base, bucket_log

@@ -333,12 +333,14 @@ def build_device_csr(
     hub_kwargs = {}
     if has_hubs:
         hub_ids = np.nonzero(is_hub_node)[0]
-        edge_pack, hub_base = hubs_lib.build_edge_pack(
-            indptr, indices, data, hub_ids
-        )
-        hkey8, hval8, bucket_base, bucket_log = hubs_lib.build_bucket_hash(
-            indptr, indices, data, hub_ids
-        )
+        (
+            edge_pack,
+            hub_base,
+            hkey8,
+            hval8,
+            bucket_base,
+            bucket_log,
+        ) = hubs_lib.build_hub_structures(indptr, indices, data, hub_ids)
         # marker encoding (see ops/hubs.py HUB_MARKER_SLOTS)
         nbr_p[hub_ids, 0] = num_nodes + 1 + deg[hub_ids]
         nbr_p[hub_ids, 1] = hub_base
