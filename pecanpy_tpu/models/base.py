@@ -196,6 +196,32 @@ class Base(BaseGraph):
             seed = int(np.random.randint(0, 2**31 - 1))
         return jax.random.PRNGKey(seed)
 
+    def _walk_chunks(self, num_walks: int, walk_length: int, base_key):
+        """Yield (walks, eff_len) device chunks, deterministically.
+
+        The same ``base_key`` reproduces the identical chunk stream —
+        the contract the streaming trainer's two passes rely on.
+        """
+        self._preprocess_transition_probs()
+        dg = self.get_device_graph()
+        aux = self._walk_aux()
+        walk_fn = self._get_walk_fn(walk_length)
+
+        starts = self._start_nodes(num_walks)
+        total = starts.size
+        chunk = min(self.walker_batch, total)
+        for i, lo in enumerate(range(0, total, chunk)):
+            part = starts[lo : lo + chunk]
+            pad = chunk - part.size
+            if pad:
+                part = np.pad(part, (0, pad))
+            walks, eff = walk_fn(
+                dg, aux, jnp.asarray(part), jax.random.fold_in(base_key, i)
+            )
+            if pad:
+                walks, eff = walks[:-pad], eff[:-pad]
+            yield walks, eff
+
     def simulate_walks_device(
         self,
         num_walks: int,
@@ -207,33 +233,15 @@ class Base(BaseGraph):
             walks: [num_walks * N, walk_length + 1] int32 node indices.
             eff_len: [num_walks * N] int32 effective walk lengths.
         """
-        self._preprocess_transition_probs()
-        dg = self.get_device_graph()
-        aux = self._walk_aux()
-        walk_fn = self._get_walk_fn(walk_length)
-        base_key = self._base_key()
-
-        starts = self._start_nodes(num_walks)
-        total = starts.size
-        chunk = min(self.walker_batch, total)
-
-        walk_parts, eff_parts = [], []
-        for i, lo in enumerate(range(0, total, chunk)):
-            part = starts[lo : lo + chunk]
-            pad = chunk - part.size
-            if pad:
-                part = np.pad(part, (0, pad))
-            walks, eff = walk_fn(
-                dg, aux, jnp.asarray(part), jax.random.fold_in(base_key, i)
-            )
-            if pad:
-                walks, eff = walks[:-pad], eff[:-pad]
-            walk_parts.append(walks)
-            eff_parts.append(eff)
-
-        if len(walk_parts) == 1:
-            return walk_parts[0], eff_parts[0]
-        return jnp.concatenate(walk_parts), jnp.concatenate(eff_parts)
+        parts = list(
+            self._walk_chunks(num_walks, walk_length, self._base_key())
+        )
+        if len(parts) == 1:
+            return parts[0]
+        return (
+            jnp.concatenate([p[0] for p in parts]),
+            jnp.concatenate([p[1] for p in parts]),
+        )
 
     def simulate_walks(
         self,
@@ -257,6 +265,9 @@ class Base(BaseGraph):
 
     # -- embedding -----------------------------------------------------------
 
+    # tokens above which embed() streams walks instead of storing them
+    STREAMING_TOKEN_THRESHOLD = 100_000_000
+
     def embed(
         self,
         dim: int = 128,
@@ -265,17 +276,20 @@ class Base(BaseGraph):
         window_size: int = 10,
         epochs: int = 1,
         verbose: bool = False,
+        streaming: Optional[bool] = None,
     ) -> Embeddings:
         """Walks + on-device SGNS, returning graph-aligned embeddings.
 
         Matches the reference defaults and training recipe
         (``pecanpy.py:240-290``: skip-gram, negative sampling, min_count=0);
         row i of the result embeds node i.
+
+        ``streaming=None`` auto-selects the two-pass streaming pipeline
+        (walks regenerated, never stored — the walk engine is ~25x faster
+        than training, so regeneration beats a multi-GB walk buffer) once
+        the corpus exceeds ~1e8 tokens; pass True/False to force.
         """
         from pecanpy_tpu.models import sgns
-
-        timed_walk = Timer("generate walks", verbose)(self.simulate_walks_device)
-        walks, eff_len = timed_walk(num_walks, walk_length)
 
         config = sgns.SGNSConfig(
             dim=dim,
@@ -283,6 +297,25 @@ class Base(BaseGraph):
             epochs=epochs,
             seed=self.random_state,
         )
+
+        total_tokens = self.num_nodes * num_walks * (walk_length + 1)
+        if streaming is None:
+            streaming = total_tokens > self.STREAMING_TOKEN_THRESHOLD
+        if streaming:
+            base_key = self._base_key()
+
+            def walk_chunks(_pass):
+                return self._walk_chunks(num_walks, walk_length, base_key)
+
+            timed = Timer("stream walks + train embeddings", verbose)(
+                sgns.train_streaming
+            )
+            return np.asarray(
+                timed(walk_chunks, self.num_nodes, config, verbose)
+            )
+
+        timed_walk = Timer("generate walks", verbose)(self.simulate_walks_device)
+        walks, eff_len = timed_walk(num_walks, walk_length)
         timed_train = Timer("train embeddings", verbose)(sgns.train)
         embeddings = timed_train(walks, eff_len, self.num_nodes, config)
         return np.asarray(embeddings)

@@ -374,3 +374,98 @@ def train(
     if ckpt is not None:
         ckpt.close()
     return w_in
+
+
+def train_streaming(
+    walk_chunks,
+    num_nodes: int,
+    config: SGNSConfig = SGNSConfig(),
+    verbose: bool = False,
+) -> jax.Array:
+    """Two-pass streaming trainer: walks are regenerated, never stored.
+
+    On TPU the walk engine is ~25x faster than SGNS training, so for
+    corpora that don't fit comfortably on device the cheapest storage for
+    walks is *no storage*: pass 1 sweeps the walk stream once to build the
+    vocabulary statistics (token counts -> subsampling probabilities and
+    the negative table, exactly what gensim's vocab scan does), then each
+    epoch regenerates the identical stream (same key tree) and trains on
+    it chunk by chunk.
+
+    Args:
+        walk_chunks: callable ``(epoch_or_pass: int) -> iterator`` over
+            ``(walks [W, T] int32, eff_len [W] int32)`` device chunks.
+            Must yield the same stream for every argument value.
+        num_nodes: vocabulary size N.
+        config: hyperparameters (``epochs`` counts training passes).
+
+    Returns:
+        [N, dim] float32 input-embedding matrix, row i = node i.
+    """
+    seed = config.seed if config.seed is not None else 0
+    key = jax.random.PRNGKey(seed)
+    k_init, k_train = jax.random.split(key)
+
+    @jax.jit
+    def count_chunk(counts, walks, eff_len):
+        valid = jnp.arange(walks.shape[1]) < eff_len[:, None]
+        return counts.at[walks.reshape(-1)].add(
+            valid.reshape(-1).astype(jnp.float32)
+        )
+
+    counts = jnp.zeros(num_nodes, dtype=jnp.float32)
+    for walks, eff_len in walk_chunks(-1):
+        counts = count_chunk(counts, walks, eff_len)
+    keep_prob = _keep_probs(counts, config.sample)
+    neg_table = jnp.asarray(
+        build_negative_table(np.asarray(counts), seed=seed)
+    )
+    total_tokens = float(jnp.sum(counts)) * config.epochs
+
+    bound = 0.5 / config.dim
+    w_in = jax.random.uniform(
+        k_init, (num_nodes, config.dim), minval=-bound, maxval=bound
+    )
+    w_out = jnp.zeros((num_nodes, config.dim), dtype=jnp.float32)
+
+    use_pallas = jax.default_backend() == "tpu"
+    step = _make_step(num_nodes, config, use_pallas)
+
+    done_tokens = 0.0
+    step_idx = 0
+    for epoch in range(config.epochs):
+        for walks, eff_len in walk_chunks(epoch):
+            chunk = resolve_batch_walks(config, num_nodes, walks.shape[1])
+            eff_host = np.asarray(eff_len)
+            for lo in range(0, walks.shape[0], chunk):
+                hi = min(lo + chunk, walks.shape[0])
+                w_chunk = walks[lo:hi]
+                e_chunk = eff_len[lo:hi]
+                pad = chunk - (hi - lo)
+                if pad:
+                    w_chunk = jnp.pad(w_chunk, ((0, pad), (0, 0)))
+                    e_chunk = jnp.pad(e_chunk, (0, pad))
+                progress = done_tokens / max(total_tokens, 1.0)
+                lr = max(
+                    config.min_alpha,
+                    config.alpha
+                    - (config.alpha - config.min_alpha) * progress,
+                )
+                w_in, w_out = step(
+                    w_in,
+                    w_out,
+                    w_chunk,
+                    e_chunk,
+                    keep_prob,
+                    neg_table,
+                    jnp.float32(lr),
+                    jax.random.fold_in(k_train, step_idx),
+                )
+                done_tokens += float(eff_host[lo:hi].sum())
+                step_idx += 1
+        if verbose:
+            print(
+                f"epoch {epoch + 1}/{config.epochs}: "
+                f"{done_tokens:.3e} tokens trained"
+            )
+    return w_in

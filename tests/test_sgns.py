@@ -105,3 +105,16 @@ def test_checkpoint_resume(tmp_path):
     resumed = np.asarray(sgns.train(walks, eff, g.num_nodes, config,
                                     checkpoint_dir=ckdir, checkpoint_every=1))
     np.testing.assert_allclose(full, resumed, rtol=1e-5, atol=1e-7)
+
+
+def test_streaming_embed_matches_materialized():
+    """Two-pass streaming embed is bit-identical to the stored-walk path."""
+    adj = two_clique_graph(k=8)
+    ids = [str(i) for i in range(adj.shape[0])]
+    g1 = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    e1 = g1.embed(dim=16, num_walks=4, walk_length=10, window_size=3,
+                  streaming=True)
+    g2 = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    e2 = g2.embed(dim=16, num_walks=4, walk_length=10, window_size=3,
+                  streaming=False)
+    np.testing.assert_allclose(e1, e2, atol=1e-7)
