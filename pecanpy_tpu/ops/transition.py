@@ -34,6 +34,18 @@ from pecanpy_tpu.ops.layout import DeviceCSR
 _EPS = 1e-30
 
 
+def _active_width(graph: DeviceCSR) -> int:
+    """Slots that can hold real neighbors in a fused row.
+
+    The channel is padded to 64-lane multiples, but the all-pairs
+    membership test is O(width^2) — slicing to the true max degree
+    (rounded to 8 sublanes) cuts real work; hub graphs keep the full
+    capped width (their rows ARE full).
+    """
+    width = -(-min(graph.max_degree, graph.dpad) // 8) * 8
+    return min(max(width, 8), graph.dpad)
+
+
 def row_searchsorted(a: jax.Array, v: jax.Array) -> jax.Array:
     """Row-wise ``searchsorted``: first index where a[b, i] >= v[b, j].
 
@@ -127,10 +139,13 @@ def node2vec_weights_rows(
     q; the return edge (cur -> prev) divides by p; common neighbors keep
     their weight.
     """
-    cur_nbr = graph.rows_nbr(cur_rows)
-    w = graph.rows_wgt(cur_rows)
-    prev_nbr = graph.rows_nbr(prev_rows)
-    found, _ = _locate_in_prev(cur_nbr, prev_nbr, graph.rows_wgt(prev_rows))
+    d = _active_width(graph)
+    cur_nbr = graph.rows_nbr(cur_rows)[:, :d]
+    w = graph.rows_wgt(cur_rows)[:, :d]
+    prev_nbr = graph.rows_nbr(prev_rows)[:, :d]
+    found, _ = _locate_in_prev(
+        cur_nbr, prev_nbr, graph.rows_wgt(prev_rows)[:, :d]
+    )
     is_prev = cur_nbr == prev[:, None]
     is_out = ~found & ~is_prev
     w = w * jnp.where(is_out, 1.0 / q, 1.0)
@@ -163,17 +178,18 @@ def node2vec_plus_weights_rows(
     The neighbors' thresholds come from the fused ``thr`` channel; the
     current node's own threshold is recomputed from its wgt channel.
     """
-    cur_nbr = graph.rows_nbr(cur_rows)
-    w = graph.rows_wgt(cur_rows)
-    prev_nbr = graph.rows_nbr(prev_rows)
+    d = _active_width(graph)
+    cur_nbr = graph.rows_nbr(cur_rows)[:, :d]
+    w = graph.rows_wgt(cur_rows)[:, :d]
+    prev_nbr = graph.rows_nbr(prev_rows)[:, :d]
     found, prev_wgt_of = _locate_in_prev(
-        cur_nbr, prev_nbr, graph.rows_wgt(prev_rows)
+        cur_nbr, prev_nbr, graph.rows_wgt(prev_rows)[:, :d]
     )
     is_prev = cur_nbr == prev[:, None]
 
     if gamma is None:
         gamma = graph.gamma
-    theta_x = graph.rows_thr(cur_rows)  # [B, D]; padded slots are 1.0
+    theta_x = graph.rows_thr(cur_rows)[:, :d]  # padded slots are 1.0
     theta_cur = row_thresholds(graph, cur_rows, gamma)[:, None]  # [B, 1]
 
     loose = prev_wgt_of < theta_x
@@ -210,15 +226,16 @@ def node2vec_pp_weights_rows(
     ``b = w(cur, x) / threshold[x]`` (as written in the reference the
     b-terms cancel; kept verbatim for parity).
     """
-    cur_nbr = graph.rows_nbr(cur_rows)
-    w = graph.rows_wgt(cur_rows)
-    prev_nbr = graph.rows_nbr(prev_rows)
+    d = _active_width(graph)
+    cur_nbr = graph.rows_nbr(cur_rows)[:, :d]
+    w = graph.rows_wgt(cur_rows)[:, :d]
+    prev_nbr = graph.rows_nbr(prev_rows)[:, :d]
     _, prev_wgt_of = _locate_in_prev(
-        cur_nbr, prev_nbr, graph.rows_wgt(prev_rows)
+        cur_nbr, prev_nbr, graph.rows_wgt(prev_rows)[:, :d]
     )
     is_prev = cur_nbr == prev[:, None]
 
-    theta_x = jnp.maximum(graph.rows_thr(cur_rows), _EPS)
+    theta_x = jnp.maximum(graph.rows_thr(cur_rows)[:, :d], _EPS)
     is_out = (prev_wgt_of < theta_x) & ~is_prev
 
     t = jnp.clip(prev_wgt_of / theta_x, 0.0, 1.0)
