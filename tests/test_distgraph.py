@@ -1,0 +1,87 @@
+"""Edge-partitioned (row-sharded graph) walking on the virtual CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+import oracle
+from pecanpy_tpu.ops.layout import device_csr_from_dense
+from pecanpy_tpu.parallel import mesh as mesh_lib
+from pecanpy_tpu.parallel.distgraph import (
+    shard_graph,
+    simulate_walks_distributed,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return mesh_lib.make_mesh(8)
+
+
+def test_sharded_walks_follow_edges(mesh8, rng):
+    adj = oracle.random_graph(rng, 16, mean_degree=4.0, weighted=True)
+    graph = device_csr_from_dense(adj)
+    starts = np.tile(np.arange(16, dtype=np.int32), 8)
+    walks, eff = simulate_walks_distributed(
+        graph, mesh8, starts, walk_length=6, p=0.5, q=2.0, seed=3
+    )
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    assert walks.shape == (128, 7)
+    np.testing.assert_array_equal(np.sort(walks[:, 0]), np.sort(starts))
+    for row, n in zip(walks, eff):
+        for a, b in zip(row[: n - 1], row[1:n]):
+            assert adj[a, b] != 0, f"non-edge {a}->{b}"
+
+
+def test_sharded_second_order_distribution(mesh8, rng):
+    """Row-sharded walking must follow the exact 2nd-order law."""
+    adj = oracle.random_graph(rng, 8, mean_degree=3.5, weighted=True)
+    graph = device_csr_from_dense(adj)
+    p, q = 0.5, 2.0
+    starts = np.tile(np.arange(8, dtype=np.int32), 400)
+    walks, eff = simulate_walks_distributed(
+        graph, mesh8, starts, walk_length=4, p=p, q=q, seed=11
+    )
+    walks, eff = np.asarray(walks), np.asarray(eff)
+
+    counts = {}
+    for row, m in zip(walks, eff):
+        for j in range(2, m):
+            counts.setdefault((row[j - 2], row[j - 1]), []).append(row[j])
+
+    checked = 0
+    for (prev, cur), nxts in counts.items():
+        if len(nxts) < 400:
+            continue
+        nbrs = np.nonzero(adj[cur])[0]
+        expected = oracle.node2vec_probs(adj, cur, prev, p, q)
+        freq = np.array([(np.array(nxts) == nb).mean() for nb in nbrs])
+        np.testing.assert_allclose(
+            freq, expected, atol=4.5 * np.sqrt(0.25 / len(nxts)),
+            err_msg=f"cur={cur} prev={prev} n={len(nxts)}",
+        )
+        checked += 1
+    assert checked >= 3, "not enough high-count transitions to test"
+
+
+def test_shard_graph_rejects_hubs(mesh8, rng):
+    adj = oracle.random_graph(rng, 14, mean_degree=8.0)
+    graph = device_csr_from_dense(adj, degree_cap=6)
+    assert graph.has_hubs
+    with pytest.raises(NotImplementedError):
+        shard_graph(graph, mesh8)
+
+
+def test_first_order_unweighted_sharded(mesh8, rng):
+    adj = oracle.random_graph(rng, 12, mean_degree=4.0, weighted=False)
+    graph = device_csr_from_dense(adj)
+    starts = np.tile(np.arange(12, dtype=np.int32), 4)
+    walks, eff = simulate_walks_distributed(
+        graph, mesh8, starts, walk_length=5, mode="FirstOrderUnweighted",
+        seed=0,
+    )
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    for row, n in zip(walks, eff):
+        for a, b in zip(row[: n - 1], row[1:n]):
+            assert adj[a, b] != 0
