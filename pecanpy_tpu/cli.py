@@ -108,6 +108,28 @@ def parse_args(argv=None):
         action="store_true",
         help="If set, use canonical node ordering for the node IDs.",
     )
+    # --- TPU-specific extensions (absent from the reference CLI) ---
+    parser.add_argument(
+        "--degree-cap",
+        type=int,
+        default=None,
+        help="Nodes above this degree use the O(E) hub structures + "
+        "rejection sampling instead of fused rows (default: 128; pass 0 "
+        "to disable capping).",
+    )
+    parser.add_argument(
+        "--walker-batch",
+        type=int,
+        default=None,
+        help="Walkers advanced per device dispatch (default 131072).",
+    )
+    parser.add_argument(
+        "--streaming",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="Stream walks into training (regenerated, never stored). "
+        "auto: on above ~1e8 tokens.",
+    )
     return parser.parse_args(argv)
 
 
@@ -201,6 +223,11 @@ def read_graph(args):
         return None
 
     mode_cls = getattr(pecanpy, args.mode)
+    extra = {}
+    if args.degree_cap is not None:
+        extra["degree_cap"] = args.degree_cap if args.degree_cap > 0 else None
+    if args.walker_batch is not None:
+        extra["walker_batch"] = args.walker_batch
     g = mode_cls(
         p=args.p,
         q=args.q,
@@ -209,6 +236,7 @@ def read_graph(args):
         extend=args.extend,
         gamma=args.gamma,
         random_state=args.random_state,
+        **extra,
     )
     if args.input.endswith(".npz"):
         g.read_npz(args.input, args.weighted, implicit_ids=args.implicit_ids)
@@ -270,6 +298,26 @@ def main(argv=None):
     if g is None:  # conversion task
         return
     preprocess(g)
+
+    total_tokens = g.num_nodes * args.num_walks * (args.walk_length + 1)
+    use_stream = args.streaming == "on" or (
+        args.streaming == "auto"
+        and total_tokens > type(g).STREAMING_TOKEN_THRESHOLD
+    )
+    if use_stream:
+        embeddings = Timer("stream walks + train embeddings", args.verbose)(
+            g.embed
+        )(
+            dim=args.dimensions,
+            num_walks=args.num_walks,
+            walk_length=args.walk_length,
+            window_size=args.window_size,
+            epochs=args.epochs,
+            verbose=args.verbose,
+            streaming=True,
+        )
+        save_embeddings(args.output, g.nodes, np.asarray(embeddings))
+        return
     walks, eff_len = simulate_walks(args, g)
     learn_embeddings(args, g, walks, eff_len)
 
