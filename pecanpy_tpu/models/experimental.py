@@ -1,6 +1,4 @@
 """Experimental walk modes."""
-import jax.numpy as jnp
-
 from pecanpy_tpu.models.modes import _DenseModeBase
 from pecanpy_tpu.ops import sampling, transition
 

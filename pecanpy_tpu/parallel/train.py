@@ -9,7 +9,7 @@ derives all collectives from the sharding annotations: a ``psum`` over
 updates.
 """
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
