@@ -259,6 +259,50 @@ def _make_step(num_nodes: int, config: SGNSConfig, use_pallas: bool):
     )
 
 
+def _make_indexed_step(
+    num_nodes: int, config: SGNSConfig, use_pallas: bool, chunk: int
+):
+    """One-dispatch-per-chunk step: slice, lr lookup, and key derivation
+    all happen in-graph.
+
+    Over a tunneled device link every dispatch costs ~75 ms of RPC
+    latency; the naive loop issues ~5 tiny dispatches per chunk (walk
+    slice, lr scalar, fold_in, ...) and the latency dwarfs the 72 ms of
+    actual compute. This variant takes the *full* walk buffer plus a
+    chunk index and runs everything in one program.
+
+    Args of the returned fn: (w_in, w_out, walks_full, eff_full,
+    keep_prob, neg_table, lrs, key0, g, g0) where ``g`` is the global
+    step (keys fold ``key0`` with g, matching the unbatched trainer) and
+    ``g - g0`` indexes the chunk and its lr within this walk buffer.
+    ``walks_full`` must be pre-padded to a multiple of ``chunk`` rows.
+    """
+    body = make_step_body(num_nodes, config, use_pallas)
+
+    def run(w_in, w_out, walks_full, eff_full, keep_prob, neg_table,
+            lrs, key0, g, g0):
+        i = g - g0
+        walks = jax.lax.dynamic_slice_in_dim(walks_full, i * chunk, chunk, 0)
+        eff = jax.lax.dynamic_slice_in_dim(eff_full, i * chunk, chunk, 0)
+        return body(
+            w_in, w_out, walks, eff, keep_prob, neg_table, lrs[i],
+            jax.random.fold_in(key0, g),
+        )
+
+    return jax.jit(run, donate_argnums=(0, 1))
+
+
+def _chunk_lrs(config, eff_sums, done_tokens, total_tokens):
+    """Per-chunk learning rates from the token-progress schedule."""
+    starts = done_tokens + np.concatenate([[0.0], np.cumsum(eff_sums)[:-1]])
+    return np.maximum(
+        config.min_alpha,
+        config.alpha
+        - (config.alpha - config.min_alpha)
+        * (starts / max(total_tokens, 1.0)),
+    ).astype(np.float32)
+
+
 def train(
     walks: jax.Array,
     eff_len: jax.Array,
@@ -322,49 +366,45 @@ def train(
                 resume_step = int(meta["next_step"])
 
     use_pallas = jax.default_backend() == "tpu"
-    step = _make_step(num_nodes, config, use_pallas)
 
     num_walks = walks.shape[0]
     chunk = min(
         resolve_batch_walks(config, num_nodes, walks.shape[1]), num_walks
     )
+    step = _make_indexed_step(num_nodes, config, use_pallas, chunk)
     eff_host = np.asarray(eff_len)
     total_tokens = float(eff_host.sum()) * config.epochs
     done_tokens = 0.0
 
+    # pad once so any chunk index slices in-bounds (eff 0: no pairs)
+    n_chunks = -(-num_walks // chunk)
+    pad = n_chunks * chunk - num_walks
+    if pad:
+        walks = jnp.pad(walks, ((0, pad), (0, 0)))
+        eff_len = jnp.pad(eff_len, (0, pad))
+    eff_sums = np.add.reduceat(
+        np.pad(eff_host, (0, pad)).astype(np.float64),
+        np.arange(n_chunks) * chunk,
+    )
+
     step_idx = 0
     for epoch in range(config.epochs):
-        for lo in range(0, num_walks, chunk):
+        lrs = jnp.asarray(
+            _chunk_lrs(config, eff_sums, done_tokens, total_tokens)
+        )
+        g0 = epoch * n_chunks
+        for i in range(n_chunks):
             if max_steps is not None and step_idx >= max_steps:
                 break
-            hi = min(lo + chunk, num_walks)
             if step_idx < resume_step:  # replay the cursor, skip the work
-                done_tokens += float(eff_host[lo:hi].sum())
+                done_tokens += float(eff_sums[i])
                 step_idx += 1
                 continue
-            w_chunk = walks[lo:hi]
-            e_chunk = eff_len[lo:hi]
-            pad = chunk - (hi - lo)
-            if pad:
-                w_chunk = jnp.pad(w_chunk, ((0, pad), (0, 0)))
-                e_chunk = jnp.pad(e_chunk, (0, pad))  # eff 0: no pairs
-
-            progress = done_tokens / max(total_tokens, 1.0)
-            lr = max(
-                config.min_alpha,
-                config.alpha - (config.alpha - config.min_alpha) * progress,
-            )
             w_in, w_out = step(
-                w_in,
-                w_out,
-                w_chunk,
-                e_chunk,
-                keep_prob,
-                neg_table,
-                jnp.float32(lr),
-                jax.random.fold_in(k_train, step_idx),
+                w_in, w_out, walks, eff_len, keep_prob, neg_table,
+                lrs, k_train, step_idx, g0,
             )
-            done_tokens += float(eff_host[lo:hi].sum())
+            done_tokens += float(eff_sums[i])
             step_idx += 1
             if ckpt is not None and step_idx % checkpoint_every == 0:
                 ckpt.save(
@@ -429,39 +469,37 @@ def train_streaming(
     w_out = jnp.zeros((num_nodes, config.dim), dtype=jnp.float32)
 
     use_pallas = jax.default_backend() == "tpu"
-    step = _make_step(num_nodes, config, use_pallas)
+    step = None
 
     done_tokens = 0.0
     step_idx = 0
     for epoch in range(config.epochs):
         for walks, eff_len in walk_chunks(epoch):
             chunk = resolve_batch_walks(config, num_nodes, walks.shape[1])
+            if step is None:
+                step = _make_indexed_step(
+                    num_nodes, config, use_pallas, chunk
+                )
             eff_host = np.asarray(eff_len)
-            for lo in range(0, walks.shape[0], chunk):
-                hi = min(lo + chunk, walks.shape[0])
-                w_chunk = walks[lo:hi]
-                e_chunk = eff_len[lo:hi]
-                pad = chunk - (hi - lo)
-                if pad:
-                    w_chunk = jnp.pad(w_chunk, ((0, pad), (0, 0)))
-                    e_chunk = jnp.pad(e_chunk, (0, pad))
-                progress = done_tokens / max(total_tokens, 1.0)
-                lr = max(
-                    config.min_alpha,
-                    config.alpha
-                    - (config.alpha - config.min_alpha) * progress,
-                )
+            n_chunks = -(-walks.shape[0] // chunk)
+            pad = n_chunks * chunk - walks.shape[0]
+            if pad:
+                walks = jnp.pad(walks, ((0, pad), (0, 0)))
+                eff_len = jnp.pad(eff_len, (0, pad))
+            eff_sums = np.add.reduceat(
+                np.pad(eff_host, (0, pad)).astype(np.float64),
+                np.arange(n_chunks) * chunk,
+            )
+            lrs = jnp.asarray(
+                _chunk_lrs(config, eff_sums, done_tokens, total_tokens)
+            )
+            g0 = step_idx
+            for i in range(n_chunks):
                 w_in, w_out = step(
-                    w_in,
-                    w_out,
-                    w_chunk,
-                    e_chunk,
-                    keep_prob,
-                    neg_table,
-                    jnp.float32(lr),
-                    jax.random.fold_in(k_train, step_idx),
+                    w_in, w_out, walks, eff_len, keep_prob, neg_table,
+                    lrs, k_train, step_idx, g0,
                 )
-                done_tokens += float(eff_host[lo:hi].sum())
+                done_tokens += float(eff_sums[i])
                 step_idx += 1
         if verbose:
             print(
