@@ -67,6 +67,9 @@ class SGNSConfig:
     sample: float = 1e-3
     batch_walks: Optional[int] = None
     update_cap: float = 4.0
+    # "float32" or "bfloat16"; bf16 halves table memory and traffic and
+    # relies on stochastic-rounding updates (TPU Pallas path)
+    table_dtype: str = "float32"
     # unused (pre-walk-structured trainer); kept for call compatibility
     batch_pairs: Optional[int] = None
     seed: Optional[int] = None
@@ -143,7 +146,10 @@ def make_step_body(num_nodes: int, config: SGNSConfig, use_pallas: bool = False)
     def step(w_in, w_out, walks, eff_len, keep_prob, neg_table, lr, key):
         wb, t = walks.shape
         dim = w_in.shape[1]
-        key_sub, key_win, key_neg = jax.random.split(key, 3)
+        key_sub, key_win, key_neg, key_rnd = jax.random.split(key, 4)
+        rng_seed = jax.random.randint(
+            key_rnd, (), 0, 2**31 - 1, dtype=jnp.int32
+        )
 
         # 1. Subsample: prune dropped tokens, compact each walk left
         #    (sort-based — XLA scatter-free).
@@ -158,16 +164,17 @@ def make_step_body(num_nodes: int, config: SGNSConfig, use_pallas: bool = False)
         # 2. Reduced windows per center position: effective ~ U{1..window}.
         eff_win = window - jax.random.randint(key_win, (wb, t), 0, window)
 
-        # 3. One row gather per walk token (both tables).
-        v = w_in[comp]  # [Wb, T, dim]
-        uo = w_out[comp]
+        # 3. One row gather per walk token (both tables); bf16 tables
+        #    upcast once here, all arithmetic stays f32.
+        v = w_in[comp].astype(jnp.float32)  # [Wb, T, dim]
+        uo = w_out[comp].astype(jnp.float32)
 
         # 4. Per-token negatives from the shuffled unigram^0.75 table.
         slots = jax.random.randint(
             key_neg, (wb, t, k_neg), 0, neg_table.shape[0]
         )
         negs = neg_table[slots]  # [Wb, T, K]
-        u_neg = w_out[negs]  # [Wb, T, K, dim]
+        u_neg = w_out[negs].astype(jnp.float32)  # [Wb, T, K, dim]
         g_neg = jax.nn.sigmoid(
             jnp.einsum("btd,btkd->btk", v, u_neg)
         )  # sigma(v_ctx . u_neg), per context token
@@ -224,6 +231,7 @@ def make_step_body(num_nodes: int, config: SGNSConfig, use_pallas: bool = False)
             lr,
             use_pallas=use_pallas,
             cap=cap,
+            rng_seed=rng_seed,
         )
         # center and negative contributions are separate normalization
         # groups (as in per-role sequential SGD): folding them into one
@@ -237,6 +245,7 @@ def make_step_body(num_nodes: int, config: SGNSConfig, use_pallas: bool = False)
             lr,
             use_pallas=use_pallas,
             cap=cap,
+            rng_seed=rng_seed + 1,
         )
         w_out = apply_mean_updates(
             w_out,
@@ -246,6 +255,7 @@ def make_step_body(num_nodes: int, config: SGNSConfig, use_pallas: bool = False)
             lr,
             use_pallas=use_pallas,
             cap=cap,
+            rng_seed=rng_seed + 2,
         )
         return w_in, w_out
 
@@ -343,11 +353,12 @@ def train(
         build_negative_table(np.asarray(counts), seed=seed)
     )
 
+    table_dtype = jnp.dtype(config.table_dtype)
     bound = 0.5 / config.dim
     w_in = jax.random.uniform(
         k_init, (num_nodes, config.dim), minval=-bound, maxval=bound
-    )
-    w_out = jnp.zeros((num_nodes, config.dim), dtype=jnp.float32)
+    ).astype(table_dtype)
+    w_out = jnp.zeros((num_nodes, config.dim), dtype=table_dtype)
 
     ckpt = None
     resume_step = 0
@@ -413,7 +424,7 @@ def train(
 
     if ckpt is not None:
         ckpt.close()
-    return w_in
+    return w_in.astype(jnp.float32)
 
 
 def train_streaming(
@@ -462,11 +473,12 @@ def train_streaming(
     )
     total_tokens = float(jnp.sum(counts)) * config.epochs
 
+    table_dtype = jnp.dtype(config.table_dtype)
     bound = 0.5 / config.dim
     w_in = jax.random.uniform(
         k_init, (num_nodes, config.dim), minval=-bound, maxval=bound
-    )
-    w_out = jnp.zeros((num_nodes, config.dim), dtype=jnp.float32)
+    ).astype(table_dtype)
+    w_out = jnp.zeros((num_nodes, config.dim), dtype=table_dtype)
 
     use_pallas = jax.default_backend() == "tpu"
     step = None
@@ -506,4 +518,4 @@ def train_streaming(
                 f"epoch {epoch + 1}/{config.epochs}: "
                 f"{done_tokens:.3e} tokens trained"
             )
-    return w_in
+    return w_in.astype(jnp.float32)

@@ -24,6 +24,13 @@ row (every lane equal) to keep all scratch traffic aligned.
 
 The pure-XLA fallback (``_apply_scatter``) is used on CPU (where scatter
 is fine).
+
+bfloat16 tables: the kernel streams bf16 tiles, accumulates in f32, and
+writes back with **stochastic rounding** (pltpu.prng_random_bits +
+stochastic_round) — at lr ~1e-3 the per-step row movement is below the
+bf16 ulp of typical weights, so round-to-nearest would silently drop
+most updates; stochastic rounding keeps SGD unbiased. The CPU fallback
+rounds to nearest (documented quality caveat; bf16 is a TPU option).
 """
 import functools
 
@@ -56,23 +63,26 @@ def _row_step(sums, cnts, lr, cap):
 
 def _apply_scatter(table, ids, upd, cnt, lr, cap):
     """Reference implementation: plain scatter (fast on CPU only)."""
-    sums = jnp.zeros_like(table).at[ids].add(upd)
+    t32 = table.astype(jnp.float32)
+    sums = jnp.zeros_like(t32).at[ids].add(upd.astype(jnp.float32))
     cnts = jnp.zeros(table.shape[0], dtype=jnp.float32).at[ids].add(cnt)
-    return table - _row_step(sums, cnts[:, None], lr, cap)
+    out = t32 - _row_step(sums, cnts[:, None], lr, cap)
+    return out.astype(table.dtype)
 
 
 def _applier_kernel(
     bounds_ref,  # [n_tiles + 1] scalar-prefetch: update range per tile
     lr_ref,  # [2] scalar-prefetch: (lr, update cap)
-    tile_ref,  # [TILE, D] VMEM: current table tile
+    seed_ref,  # [1] int32 scalar-prefetch: stochastic-rounding seed
+    tile_ref,  # [TILE, D] VMEM: current table tile (f32 or bf16)
     ids_ref,  # [R_pad] int32, HBM (manual DMA)
-    upd_ref,  # [R_pad, D] f32, HBM
+    upd_ref,  # [R_pad, D] f32/bf16, HBM
     cnt_ref,  # [R_pad] f32, HBM
     out_ref,  # [TILE, D] VMEM
-    sums,  # [TILE, D] VMEM scratch
-    cnts,  # [TILE, d] VMEM scratch (all lanes equal)
+    sums,  # [TILE, D] f32 VMEM scratch
+    cnts,  # [TILE, d] f32 VMEM scratch (all lanes equal)
     ids_buf,  # [CHUNK] int32 SMEM scratch (scalar reads)
-    upd_buf,  # [CHUNK, D] VMEM scratch
+    upd_buf,  # [CHUNK, D] VMEM scratch (payload dtype)
     cnt_buf,  # [CHUNK] f32 SMEM scratch
     sems,  # DMA semaphores (3,)
 ):
@@ -109,8 +119,8 @@ def _applier_kernel(
             @pl.when((g >= lo) & (g < hi))
             def _():
                 local = ids_buf[j] - i * TILE
-                sums[pl.ds(local, 1), :] = (
-                    sums[pl.ds(local, 1), :] + upd_buf[pl.ds(j, 1), :]
+                sums[pl.ds(local, 1), :] = sums[pl.ds(local, 1), :] + (
+                    upd_buf[pl.ds(j, 1), :].astype(jnp.float32)
                 )
                 cnts[pl.ds(local, 1), :] = (
                     cnts[pl.ds(local, 1), :] + cnt_buf[j]
@@ -122,33 +132,43 @@ def _applier_kernel(
         return None
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, None)
-    out_ref[:] = tile_ref[:] - _row_step(
+    new = tile_ref[:].astype(jnp.float32) - _row_step(
         sums[:], cnts[:], lr_ref[0], lr_ref[1]
     )
+    if out_ref.dtype == jnp.bfloat16:
+        # lr-scale movements sit below the bf16 ulp of typical weights:
+        # stochastic rounding keeps the SGD updates unbiased
+        pltpu.prng_seed(seed_ref[0] + i)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(new.shape), jnp.uint32)
+        out_ref[:] = pltpu.stochastic_round(
+            new, bits, target_dtype=jnp.bfloat16
+        )
+    else:
+        out_ref[:] = new
 
 
-def _apply_pallas(table, ids_s, upd_s, cnt_s, bounds, lr_cap):
+def _apply_pallas(table, ids_s, upd_s, cnt_s, bounds, lr_cap, seed):
     """Tile-streaming applier over PRE-SORTED updates."""
     n, d = table.shape
     n_tiles = n // TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE, d), lambda i, b, lr_: (i, 0),
+            pl.BlockSpec((TILE, d), lambda i, b, lr_, sd: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (TILE, d), lambda i, b, lr_: (i, 0), memory_space=pltpu.VMEM
+            (TILE, d), lambda i, b, lr_, sd: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((TILE, d), jnp.float32),
             pltpu.VMEM((TILE, d), jnp.float32),
             pltpu.SMEM((CHUNK,), jnp.int32),
-            pltpu.VMEM((CHUNK, d), jnp.float32),
+            pltpu.VMEM((CHUNK, d), upd_s.dtype),
             pltpu.SMEM((CHUNK,), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -156,9 +176,9 @@ def _apply_pallas(table, ids_s, upd_s, cnt_s, bounds, lr_cap):
     return pl.pallas_call(
         _applier_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
-        input_output_aliases={2: 0},  # table buffer reused for the output
-    )(bounds, lr_cap, table, ids_s, upd_s, cnt_s)
+        out_shape=jax.ShapeDtypeStruct((n, d), table.dtype),
+        input_output_aliases={3: 0},  # table buffer reused for the output
+    )(bounds, lr_cap, seed, table, ids_s, upd_s, cnt_s)
 
 
 @functools.partial(
@@ -172,6 +192,7 @@ def apply_mean_updates(
     lr: jax.Array,
     use_pallas: bool = False,
     cap: float = DEFAULT_UPDATE_CAP,
+    rng_seed: jax.Array = None,
 ) -> jax.Array:
     """table[i] -= lr * capped-sum of the upd rows with id i.
 
@@ -193,6 +214,9 @@ def apply_mean_updates(
         upd = jnp.pad(upd, ((0, 0), (0, pad_d)))
     n_pad = table.shape[0]
 
+    # payload stays f32: bf16 VMEM rows cannot be dynamically sliced at
+    # single-sublane granularity (16-row tiles)
+    upd = upd.astype(jnp.float32)
     order = jnp.argsort(ids)
     ids_s = ids[order]
     upd_s = upd[order]  # fast-path row gather (payload width >= 64)
@@ -206,6 +230,8 @@ def apply_mean_updates(
     edges = jnp.arange(n_pad // TILE + 1, dtype=jnp.int32) * TILE
     bounds = jnp.searchsorted(ids_s, edges).astype(jnp.int32)
 
+    if rng_seed is None:
+        rng_seed = jnp.int32(0)
     out = _apply_pallas(
         table,
         ids_s,
@@ -213,5 +239,6 @@ def apply_mean_updates(
         cnt_s.astype(jnp.float32),
         bounds,
         jnp.asarray([lr, cap], dtype=jnp.float32),
+        rng_seed.reshape(1).astype(jnp.int32),
     )
     return out[:n, :d]

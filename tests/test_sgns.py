@@ -118,3 +118,19 @@ def test_streaming_embed_matches_materialized():
     e2 = g2.embed(dim=16, num_walks=4, walk_length=10, window_size=3,
                   streaming=False)
     np.testing.assert_allclose(e1, e2, atol=1e-7)
+
+
+def test_bfloat16_tables_train():
+    """bf16 tables train and separate communities (scatter path rounds to
+    nearest on CPU; the TPU Pallas path applies stochastic rounding)."""
+    adj = two_clique_graph(k=8)
+    ids = [str(i) for i in range(adj.shape[0])]
+    g = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    walks, eff = g.simulate_walks_device(8, 12)
+    config = sgns.SGNSConfig(
+        dim=16, window=3, epochs=2, sample=0.0, seed=0,
+        table_dtype="bfloat16",
+    )
+    emb = np.asarray(sgns.train(walks, eff, g.num_nodes, config))
+    assert emb.dtype == np.float32  # upcast on return
+    assert np.isfinite(emb).all()
