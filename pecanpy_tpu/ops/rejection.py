@@ -336,7 +336,7 @@ def second_order_sample(
     accepted = ~active | ok0
 
     # compacted sweeps: only the unaccepted lanes, S = B / COMPACT_FRACTION
-    s = max(-(-b // COMPACT_FRACTION), 8)
+    s = min(max(-(-b // COMPACT_FRACTION), 8), b)
     lanes = jnp.arange(b, dtype=jnp.int32)
 
     def cond(state):

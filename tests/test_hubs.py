@@ -216,3 +216,19 @@ def test_bucket_hash_contains_every_key(rng):
             slots = np.nonzero(hkey8[bucket] == x)[0]
             assert slots.size == 1, f"key {x} of hub {u} not in its bucket"
             np.testing.assert_allclose(hval8[bucket, slots[0]], wgt[e])
+
+
+def test_scalar_move_forward_on_hub_graph(rng):
+    """Batch-1 compat callback through the rejection path (tiny batches)."""
+    adj = oracle.random_graph(rng, 10, mean_degree=6.0, weighted=True)
+    ids = [str(i) for i in range(10)]
+    g = pecanpy.SparseOTF.from_mat(
+        adj, ids, p=0.5, q=2.0, random_state=0, degree_cap=CAP
+    )
+    assert g.get_device_graph().has_hubs
+    move = g.get_move_forward()
+    start = next(i for i in range(10) if adj[i].sum() > 0)
+    nxt = move(start)
+    assert adj[start, nxt] != 0
+    nxt2 = move(nxt, start)
+    assert adj[nxt, nxt2] != 0
