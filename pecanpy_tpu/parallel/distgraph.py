@@ -53,6 +53,12 @@ class ShardedDeviceCSR(DeviceCSR):
     axis: str = dataclasses.field(
         metadata=dict(static=True), default=DATA_AXIS
     )
+    exchange: str = dataclasses.field(
+        metadata=dict(static=True), default="psum"
+    )
+    capacity: int = dataclasses.field(
+        metadata=dict(static=True), default=0
+    )
 
     @property
     def num_nodes(self) -> int:  # sentinel space is the GLOBAL node count
@@ -63,6 +69,11 @@ class ShardedDeviceCSR(DeviceCSR):
         return self.fused.shape[0]
 
     def gather_rows(self, idx: jax.Array) -> jax.Array:
+        if self.exchange == "alltoall":
+            return self._gather_rows_a2a(idx)
+        return self._gather_rows_psum(idx)
+
+    def _gather_rows_psum(self, idx: jax.Array) -> jax.Array:
         """Collective row fetch: all_gather ids, local gather, psum rows.
 
         The combine runs in the int32 domain: fused rows carry int32
@@ -84,6 +95,75 @@ class ShardedDeviceCSR(DeviceCSR):
         start = jax.lax.axis_index(self.axis) * b_local
         rows_i = jax.lax.dynamic_slice(
             rows_i, (start, 0), (b_local, rows_i.shape[1])
+        )
+        return jax.lax.bitcast_convert_type(rows_i, jnp.float32)
+
+    def _gather_rows_a2a(self, idx: jax.Array) -> jax.Array:
+        """Request/response row fetch over all_to_all.
+
+        Per round: each shard packs up to ``capacity`` not-yet-served
+        requests per owner into a [S, CAP] id buffer, all_to_all routes
+        the buffers to their owners, owners gather their rows locally,
+        and a second all_to_all returns [S, CAP, W] replies. Walkers
+        whose request did not fit retry next round; the loop runs until
+        every lane is served (expected: one round).
+        """
+        b = idx.shape[0]
+        s_axis = jax.lax.axis_size(self.axis)
+        cap = self.capacity
+        w = self.fused.shape[1]
+        rps = self.rows_per_shard
+        my = jax.lax.axis_index(self.axis)
+
+        def round_body(state):
+            rows_out, served, _pending, _t = state
+            owner = jnp.where(served, s_axis, idx // rps)  # served -> nowhere
+            # rank of each pending lane within its owner group
+            onehot = owner[:, None] == jnp.arange(s_axis)[None, :]  # [b, S]
+            rank = jnp.cumsum(onehot, axis=0) - 1  # occurrences before me
+            rank = jnp.sum(jnp.where(onehot, rank, 0), axis=1)
+            fits = (~served) & (rank < cap)
+            slot = jnp.where(fits, owner * cap + rank, s_axis * cap)
+            send_ids = (
+                jnp.full((s_axis * cap,), -1, dtype=jnp.int32)
+                .at[slot]
+                .set(idx, mode="drop")
+                .reshape(s_axis, cap)
+            )
+            # route requests to owners: recv[k] = shard k's requests to me
+            recv_ids = jax.lax.all_to_all(
+                send_ids, self.axis, split_axis=0, concat_axis=0, tiled=True
+            )
+            local = recv_ids - my * rps
+            valid = (local >= 0) & (local < rps)
+            got = self.fused[jnp.clip(local, 0, rps - 1)]
+            got_i = jax.lax.bitcast_convert_type(got, jnp.int32)
+            got_i = jnp.where(valid[:, :, None], got_i, 0)
+            # route replies back to the requesters
+            back = jax.lax.all_to_all(
+                got_i.reshape(s_axis, cap, w),
+                self.axis,
+                split_axis=0,
+                concat_axis=0,
+                tiled=True,
+            ).reshape(s_axis * cap, w)
+            mine = back[jnp.clip(slot, 0, s_axis * cap - 1)]
+            rows_out = jnp.where(fits[:, None], mine, rows_out)
+            served = served | fits
+            # the retry decision must be GLOBAL: a shard that exits the
+            # loop early while another retries would deadlock the
+            # all_to_all, so every shard carries the summed pending count
+            pending = jax.lax.psum(jnp.sum(~served), self.axis)
+            return rows_out, served, pending, _t + 1
+
+        def cond(state):
+            _, _, pending, t = state
+            return (pending > 0) & (t < b + 1)
+
+        rows0 = jnp.zeros((b, w), dtype=jnp.int32)
+        served0 = jnp.zeros((b,), dtype=bool)
+        rows_i, _, _, _ = jax.lax.while_loop(
+            cond, round_body, (rows0, served0, jnp.int32(1), jnp.int32(0))
         )
         return jax.lax.bitcast_convert_type(rows_i, jnp.float32)
 
@@ -128,6 +208,8 @@ def distributed_walk_fn(
     q: float = 1.0,
     extend: bool = False,
     mode: str = "SparseOTF",
+    exchange: str = "psum",
+    capacity: Optional[int] = None,
 ):
     """Compiled sharded walk program: starts sharded in, walks sharded out.
 
@@ -141,7 +223,14 @@ def distributed_walk_fn(
         else transition.node2vec_weights_rows
     )
 
+    n_shards = mesh.shape[DATA_AXIS]
+
     def walk(fused_local, threshold, starts_local, key):
+        b_local = starts_local.shape[0]
+        cap = capacity
+        if cap is None:
+            mean = max(b_local // n_shards, 1)
+            cap = mean + 4 * int(np.sqrt(mean)) + 8
         dg = ShardedDeviceCSR(
             fused=fused_local,
             deg=jnp.zeros(0, jnp.int32),  # unused in the fused path
@@ -152,6 +241,8 @@ def distributed_walk_fn(
             max_degree=graph.max_degree,
             gamma=graph.gamma,
             global_nodes=num_nodes,
+            exchange=exchange,
+            capacity=cap,
         )
         key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
 
@@ -201,6 +292,8 @@ def simulate_walks_distributed(
     extend: bool = False,
     mode: str = "SparseOTF",
     seed: Optional[int] = 0,
+    exchange: str = "psum",
+    capacity: Optional[int] = None,
 ):
     """One-call sharded walk generation over an edge-partitioned graph."""
     sharded, rows = shard_graph(graph, mesh)
@@ -212,7 +305,8 @@ def simulate_walks_distributed(
         jnp.asarray(starts), NamedSharding(mesh, P(DATA_AXIS))
     )
     fn = distributed_walk_fn(
-        mesh, graph, rows, walk_length, p, q, extend, mode
+        mesh, graph, rows, walk_length, p, q, extend, mode,
+        exchange=exchange, capacity=capacity,
     )
     walks, eff = fn(
         sharded.fused, sharded.threshold, starts_dev,

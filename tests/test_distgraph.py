@@ -85,3 +85,48 @@ def test_first_order_unweighted_sharded(mesh8, rng):
     for row, n in zip(walks, eff):
         for a, b in zip(row[: n - 1], row[1:n]):
             assert adj[a, b] != 0
+
+
+@pytest.mark.parametrize("capacity", [None, 2])
+def test_alltoall_exchange_follows_edges(mesh8, rng, capacity):
+    """Request/response exchange; capacity=2 forces multi-round retries."""
+    adj = oracle.random_graph(rng, 16, mean_degree=4.0, weighted=True)
+    graph = device_csr_from_dense(adj)
+    starts = np.tile(np.arange(16, dtype=np.int32), 8)
+    walks, eff = simulate_walks_distributed(
+        graph, mesh8, starts, walk_length=6, p=0.5, q=2.0, seed=3,
+        exchange="alltoall", capacity=capacity,
+    )
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    for row, n in zip(walks, eff):
+        for a, b in zip(row[: n - 1], row[1:n]):
+            assert adj[a, b] != 0, f"non-edge {a}->{b}"
+
+
+def test_alltoall_second_order_distribution(mesh8, rng):
+    adj = oracle.random_graph(rng, 8, mean_degree=3.5, weighted=True)
+    graph = device_csr_from_dense(adj)
+    p, q = 0.5, 2.0
+    starts = np.tile(np.arange(8, dtype=np.int32), 400)
+    walks, eff = simulate_walks_distributed(
+        graph, mesh8, starts, walk_length=4, p=p, q=q, seed=11,
+        exchange="alltoall",
+    )
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    counts = {}
+    for row, m in zip(walks, eff):
+        for j in range(2, m):
+            counts.setdefault((row[j - 2], row[j - 1]), []).append(row[j])
+    checked = 0
+    for (prev, cur), nxts in counts.items():
+        if len(nxts) < 400:
+            continue
+        nbrs = np.nonzero(adj[cur])[0]
+        expected = oracle.node2vec_probs(adj, cur, prev, p, q)
+        freq = np.array([(np.array(nxts) == nb).mean() for nb in nbrs])
+        np.testing.assert_allclose(
+            freq, expected, atol=4.5 * np.sqrt(0.25 / len(nxts)),
+            err_msg=f"cur={cur} prev={prev}",
+        )
+        checked += 1
+    assert checked >= 3
