@@ -124,6 +124,13 @@ def parse_args(argv=None):
         help="Walkers advanced per device dispatch (default 131072).",
     )
     parser.add_argument(
+        "--table-dtype",
+        choices=["float32", "bfloat16"],
+        default="float32",
+        help="Embedding-table dtype; bfloat16 halves memory/traffic and "
+        "uses stochastic-rounding updates (TPU).",
+    )
+    parser.add_argument(
         "--streaming",
         choices=["auto", "on", "off"],
         default="auto",
@@ -286,6 +293,7 @@ def learn_embeddings(args, g, walks, eff_len):
         window=args.window_size,
         epochs=args.epochs,
         seed=args.random_state,
+        table_dtype=args.table_dtype,
     )
     embeddings = np.asarray(sgns.train(walks, eff_len, g.num_nodes, config))
     save_embeddings(args.output, g.nodes, embeddings)
@@ -315,6 +323,7 @@ def main(argv=None):
             epochs=args.epochs,
             verbose=args.verbose,
             streaming=True,
+            table_dtype=args.table_dtype,
         )
         save_embeddings(args.output, g.nodes, np.asarray(embeddings))
         return

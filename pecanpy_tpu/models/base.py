@@ -277,6 +277,7 @@ class Base(BaseGraph):
         epochs: int = 1,
         verbose: bool = False,
         streaming: Optional[bool] = None,
+        table_dtype: str = "float32",
     ) -> Embeddings:
         """Walks + on-device SGNS, returning graph-aligned embeddings.
 
@@ -296,6 +297,7 @@ class Base(BaseGraph):
             window=window_size,
             epochs=epochs,
             seed=self.random_state,
+            table_dtype=table_dtype,
         )
 
         total_tokens = self.num_nodes * num_walks * (walk_length + 1)

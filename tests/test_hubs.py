@@ -118,13 +118,16 @@ def test_propose_matches_first_order(rng):
         )
 
 
-@pytest.mark.parametrize("p,q,extend", [(0.5, 2.0, False), (1.0, 0.5, True)])
-def test_hub_second_order_distribution(p, q, extend, rng):
+@pytest.mark.parametrize(
+    "p,q,extend,gamma",
+    [(0.5, 2.0, False, 0.0), (1.0, 0.5, True, 0.0), (2.0, 0.5, True, 0.5)],
+)
+def test_hub_second_order_distribution(p, q, extend, gamma, rng):
     """Walks through hub nodes follow the exact 2nd-order law."""
     adj = oracle.random_graph(rng, 8, mean_degree=5.0, weighted=True)
     ids = [str(i) for i in range(8)]
     g = pecanpy.SparseOTF.from_mat(
-        adj, ids, p=p, q=q, extend=extend, gamma=0.0, random_state=11,
+        adj, ids, p=p, q=q, extend=extend, gamma=gamma, random_state=11,
         degree_cap=CAP,
     )
     assert g.get_device_graph().has_hubs
@@ -142,7 +145,7 @@ def test_hub_second_order_distribution(p, q, extend, rng):
             continue
         nbrs = np.nonzero(adj[cur])[0]
         if extend:
-            expected = oracle.node2vec_plus_probs(adj, cur, prev, p, q, 0.0)
+            expected = oracle.node2vec_plus_probs(adj, cur, prev, p, q, gamma)
         else:
             expected = oracle.node2vec_probs(adj, cur, prev, p, q)
         freq = np.array([(np.array(nxts) == nb).mean() for nb in nbrs])
