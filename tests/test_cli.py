@@ -101,3 +101,31 @@ def test_mode_recommendation_warning(tmp_path, karate_edg):
             "--dimensions", "4", "--walk-length", "3", "--num-walks", "1",
             "--random_state", "0",
         )
+
+
+def test_directed_extend_rejected(tmp_path, karate_edg):
+    """node2vec+ on directed graphs is rejected (reference cli.py:282-283)."""
+    from pecanpy_tpu import cli
+
+    args = cli.parse_args([
+        "--input", karate_edg, "--output", str(tmp_path / "x.emb"),
+        "--directed", "--extend",
+    ])
+    with pytest.raises(NotImplementedError):
+        cli.read_graph(args)
+
+
+def test_cli_table_dtype_bf16(tmp_path, karate_edg):
+    """--table-dtype bfloat16 trains end to end."""
+    from pecanpy_tpu import cli
+
+    out = tmp_path / "k.emb.npz"
+    cli.main([
+        "--input", karate_edg, "--output", str(out),
+        "--dimensions", "8", "--walk-length", "6", "--num-walks", "1",
+        "--window-size", "3", "--random_state", "0",
+        "--table-dtype", "bfloat16",
+    ])
+    z = np.load(out)
+    assert z["data"].shape == (34, 8)
+    assert np.isfinite(z["data"]).all()
