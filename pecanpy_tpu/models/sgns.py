@@ -432,6 +432,9 @@ def train_streaming(
     num_nodes: int,
     config: SGNSConfig = SGNSConfig(),
     verbose: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 100,
+    max_steps: Optional[int] = None,
 ) -> jax.Array:
     """Two-pass streaming trainer: walks are regenerated, never stored.
 
@@ -449,6 +452,9 @@ def train_streaming(
             Must yield the same stream for every argument value.
         num_nodes: vocabulary size N.
         config: hyperparameters (``epochs`` counts training passes).
+        checkpoint_dir / checkpoint_every / max_steps: same contract as
+            ``train`` — resume replays the (deterministic) walk-chunk
+            cursor, so an interrupted run continues bit-exactly.
 
     Returns:
         [N, dim] float32 input-embedding matrix, row i = node i.
@@ -480,13 +486,34 @@ def train_streaming(
     ).astype(table_dtype)
     w_out = jnp.zeros((num_nodes, config.dim), dtype=table_dtype)
 
+    ckpt = None
+    resume_step = 0
+    if checkpoint_dir is not None:
+        from pecanpy_tpu.utils.checkpoint import (
+            SGNSCheckpointer,
+            checkpointing_available,
+        )
+
+        if checkpointing_available():
+            ckpt = SGNSCheckpointer(checkpoint_dir)
+            if ckpt.latest_step() is not None:
+                w_in_np, w_out_np, meta = ckpt.restore()
+                w_in = jnp.asarray(w_in_np).astype(table_dtype)
+                w_out = jnp.asarray(w_out_np).astype(table_dtype)
+                resume_step = int(meta["next_step"])
+
     use_pallas = jax.default_backend() == "tpu"
     step = None
 
     done_tokens = 0.0
     step_idx = 0
+    stop = False
     for epoch in range(config.epochs):
+        if stop:
+            break
         for walks, eff_len in walk_chunks(epoch):
+            if stop:
+                break
             chunk = resolve_batch_walks(config, num_nodes, walks.shape[1])
             if step is None:
                 step = _make_indexed_step(
@@ -507,15 +534,28 @@ def train_streaming(
             )
             g0 = step_idx
             for i in range(n_chunks):
+                if max_steps is not None and step_idx >= max_steps:
+                    stop = True
+                    break
+                if step_idx < resume_step:  # replay the cursor only
+                    done_tokens += float(eff_sums[i])
+                    step_idx += 1
+                    continue
                 w_in, w_out = step(
                     w_in, w_out, walks, eff_len, keep_prob, neg_table,
                     lrs, k_train, step_idx, g0,
                 )
                 done_tokens += float(eff_sums[i])
                 step_idx += 1
+                if ckpt is not None and step_idx % checkpoint_every == 0:
+                    ckpt.save(
+                        step_idx, w_in, w_out, {"next_step": step_idx}
+                    )
         if verbose:
             print(
                 f"epoch {epoch + 1}/{config.epochs}: "
                 f"{done_tokens:.3e} tokens trained"
             )
+    if ckpt is not None:
+        ckpt.close()
     return w_in.astype(jnp.float32)

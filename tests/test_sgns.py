@@ -134,3 +134,32 @@ def test_bfloat16_tables_train():
     emb = np.asarray(sgns.train(walks, eff, g.num_nodes, config))
     assert emb.dtype == np.float32  # upcast on return
     assert np.isfinite(emb).all()
+
+
+def test_streaming_checkpoint_resume(tmp_path):
+    """Interrupted streaming training resumes to the identical state."""
+    from pecanpy_tpu.utils.checkpoint import checkpointing_available
+
+    if not checkpointing_available():
+        pytest.skip("orbax unavailable")
+
+    adj = two_clique_graph(k=4)
+    ids = [str(i) for i in range(adj.shape[0])]
+    g = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    base_key = g._base_key()
+
+    def walk_chunks(_pass):
+        return g._walk_chunks(6, 8, base_key)
+
+    config = sgns.SGNSConfig(dim=8, window=2, epochs=4, batch_walks=16, seed=0)
+    full = np.asarray(sgns.train_streaming(walk_chunks, g.num_nodes, config))
+
+    ckdir = str(tmp_path / "ck")
+    sgns.train_streaming(walk_chunks, g.num_nodes, config,
+                         checkpoint_dir=ckdir, checkpoint_every=1,
+                         max_steps=2)
+    resumed = np.asarray(
+        sgns.train_streaming(walk_chunks, g.num_nodes, config,
+                             checkpoint_dir=ckdir, checkpoint_every=1)
+    )
+    np.testing.assert_allclose(full, resumed, rtol=1e-5, atol=1e-7)
