@@ -187,6 +187,13 @@ class PreComp(_SparseModeBase):
 
     def preprocess_transition_probs(self):
         dg = self.get_device_graph()
+        if int(dg.indptr[-1]) * dg.dpad >= 2**31:
+            raise ValueError(
+                "PreComp's per-edge tables need E * dpad < 2^31 "
+                f"(got E={int(dg.indptr[-1])}, dpad={dg.dpad}); use "
+                "SparseOTF for graphs of this size (the reference's "
+                "mode-selection heuristics give the same advice)."
+            )
         kernel = _pick_kernel(self.extend)
         p, q = self.p, self.q
 
