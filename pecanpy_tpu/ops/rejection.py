@@ -46,8 +46,8 @@ from pecanpy_tpu.ops.transition import row_thresholds
 _EPS = 1e-30
 _KNUTH = jnp.uint32(2654435761)
 
-FIRST_ROUND_TRIALS = 2  # candidates per lane in the full-batch round
-SWEEP_TRIALS = 4  # candidates per lane in each compacted sweep
+FIRST_ROUND_TRIALS = 4  # candidates per lane in the full-batch round
+SWEEP_TRIALS = 8  # candidates per lane in each compacted sweep
 COMPACT_FRACTION = 4  # sub-batch = B / COMPACT_FRACTION
 SWEEP_CAP = 256  # hard bound on while_loop sweeps (safety, never hit)
 
