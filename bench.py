@@ -107,6 +107,9 @@ def main():
     print(f"building {n}-node graph...", file=sys.stderr)
     indptr, indices, data = build_graph(n, avg_deg)
     graph = build_device_csr(indptr, indices, data)
+    # run() below compiles the fused-only step: hub marker rows would be
+    # mis-read as neighbor lists (the power-law bench covers the hub path)
+    assert not graph.has_hubs, "bench graph must fit the fused layout"
     print(
         f"graph: {int(indptr[-1])} directed edges, max degree "
         f"{graph.max_degree}, device {jax.devices()[0].platform}",

@@ -3,7 +3,7 @@
 # (mirror of the reference demo/reproducibility.sh:1-14).
 set -e
 cd "$(dirname "$0")"
-KARATE=${KARATE:-/root/reference/demo/karate.edg}
+KARATE=${KARATE:-karate.edg}
 OUT=${TMPDIR:-/tmp}/pecanpy_tpu_repro
 mkdir -p "$OUT"
 

@@ -25,20 +25,19 @@ def parse_args(argv=None):
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     parser.add_argument(
-        "--input", required=True, help="Input graph (.edg or .npz) file path."
+        "--input", required=True, help="Path to the input graph (.edg edgelist or .npz CSR/dense)."
     )
     parser.add_argument(
         "--output",
         required=True,
-        help="Output embeddings file path. Save as .npz file if the "
-        "specified file path ends with .npz, otherwise save as a text file "
-        "in the word2vec format.",
+        help="Where to write the embeddings: a .npz archive when the path "
+        "ends in .npz, word2vec text format otherwise.",
     )
     parser.add_argument(
         "--task",
         default="pecanpy",
         choices=["pecanpy", "tocsr", "todense"],
-        help="Task to be performed.",
+        help="Pipeline to run: full embedding, or graph format conversion.",
     )
     parser.add_argument(
         "--mode",
@@ -50,19 +49,19 @@ def parse_args(argv=None):
             "PreCompFirstOrder",
             "SparseOTF",
         ],
-        help="Walk mode.",
+        help="Walk engine variant (see README for the selection heuristics).",
     )
     parser.add_argument(
-        "--dimensions", type=int, default=128, help="Number of dimensions."
+        "--dimensions", type=int, default=128, help="Embedding dimensionality."
     )
     parser.add_argument(
-        "--walk-length", type=int, default=80, help="Length of walk per source."
+        "--walk-length", type=int, default=80, help="Steps taken by each walk."
     )
     parser.add_argument(
-        "--num-walks", type=int, default=10, help="Number of walks per source."
+        "--num-walks", type=int, default=10, help="Walks started from every node."
     )
     parser.add_argument(
-        "--window-size", type=int, default=10, help="Context size for optimization."
+        "--window-size", type=int, default=10, help="Skip-gram context window radius."
     )
     parser.add_argument(
         "--epochs", type=int, default=1, help="Number of SGNS training epochs."
@@ -74,39 +73,39 @@ def parse_args(argv=None):
         help="Number of host threads (0 = all available). Device kernels "
         "are unaffected.",
     )
-    parser.add_argument("--p", type=float, default=1, help="Return hyperparameter.")
-    parser.add_argument("--q", type=float, default=1, help="Inout hyperparameter.")
+    parser.add_argument("--p", type=float, default=1, help="node2vec return parameter (bias 1/p toward the previous node).")
+    parser.add_argument("--q", type=float, default=1, help="node2vec in-out parameter (bias 1/q on outward edges).")
     parser.add_argument(
-        "--weighted", action="store_true", help="Boolean specifying (un)weighted."
+        "--weighted", action="store_true", help="Treat the third edgelist column as edge weights."
     )
     parser.add_argument(
-        "--directed", action="store_true", help="Graph is (un)directed."
+        "--directed", action="store_true", help="Keep edges one-directional (default inserts both directions)."
     )
     parser.add_argument(
-        "--verbose", action="store_true", help="Print out training details"
+        "--verbose", action="store_true", help="Print stage timings and progress."
     )
     parser.add_argument(
-        "--extend", action="store_true", help="Use node2vec+ extension"
+        "--extend", action="store_true", help="Enable the node2vec+ extended transition kernel."
     )
     parser.add_argument(
-        "--gamma", type=float, default=0, help="Noisy edge threshold parameter."
+        "--gamma", type=float, default=0, help="node2vec+ noise-threshold std multiplier."
     )
     parser.add_argument(
         "--random_state",
         type=int,
         default=None,
-        help="Random seed for generating random walks.",
+        help="Seed for the walk RNG tree and start-node shuffle.",
     )
     parser.add_argument(
         "--delimiter",
         type=str,
         default="\t",
-        help="Delimiter used between node IDs.",
+        help="Column separator of the edgelist file.",
     )
     parser.add_argument(
         "--implicit_ids",
         action="store_true",
-        help="If set, use canonical node ordering for the node IDs.",
+        help="Number nodes 0..N-1 instead of reading an IDs array.",
     )
     # --- TPU-specific extensions (absent from the reference CLI) ---
     parser.add_argument(
@@ -158,10 +157,8 @@ def check_mode(g, args):
         return
     if p == q == 1 and not weighted:
         warnings.warn(
-            "When p = 1 and q = 1 with unweighted graph, it is highly "
-            f"recommended to use FirstOrderUnweighted over {mode} (current "
-            "selection). The runtime could be improved greatly with improved "
-            "memory usage.",
+            f"unweighted graph with p = q = 1: FirstOrderUnweighted would "
+            f"be much faster and lighter than the selected {mode}",
             stacklevel=2,
         )
         return
@@ -174,9 +171,8 @@ def check_mode(g, args):
         return
     if p == 1 == q:
         warnings.warn(
-            "When p = 1 and q = 1, it is highly recommended to use "
-            f"PreCompFirstOrder over {mode} (current selection). The runtime "
-            "could be improved greatly with low memory usage.",
+            f"p = q = 1 makes the walk first-order: PreCompFirstOrder would "
+            f"be much faster than the selected {mode} at little memory cost",
             stacklevel=2,
         )
         return
@@ -184,28 +180,26 @@ def check_mode(g, args):
     size, dens = g.num_nodes, g.density
     if dens >= 0.2 and mode != "DenseOTF":
         warnings.warn(
-            f"Network density = {dens:.3f} (> 0.2), it is recommended to "
-            f"use DenseOTF over {mode} (current selection)",
+            f"density {dens:.3f} >= 0.2: DenseOTF usually beats the "
+            f"selected {mode} on graphs this dense",
             stacklevel=2,
         )
     if dens < 0.001 and size < 10000 and mode != "PreComp":
         warnings.warn(
-            f"Network density = {dens:.2e} (< 0.001) with {size} nodes "
-            f"(< 10000), it is recommended to use PreComp over {mode} "
-            "(current selection)",
+            f"density {dens:.2e} < 0.001 and {size} nodes < 10000: PreComp "
+            f"usually beats the selected {mode} on small sparse graphs",
             stacklevel=2,
         )
     if 0.001 <= dens < 0.2 and mode != "SparseOTF":
         warnings.warn(
-            f"Network density = {dens:.3f}, it is recommended to use "
-            f"SparseOTF over {mode} (current selection)",
+            f"density {dens:.3f} sits in SparseOTF's sweet spot "
+            f"(0.001-0.2); consider it over the selected {mode}",
             stacklevel=2,
         )
     if dens < 0.001 and size >= 10000 and mode != "SparseOTF":
         warnings.warn(
-            f"Network density = {dens:.3f} (< 0.001) with {size} nodes "
-            f"(>= 10000), it is recommended to use SparseOTF over {mode} "
-            "(current selection)",
+            f"density {dens:.3f} < 0.001 with {size} nodes >= 10000: "
+            f"SparseOTF usually beats the selected {mode} at this scale",
             stacklevel=2,
         )
 

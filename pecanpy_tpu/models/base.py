@@ -71,6 +71,7 @@ class Base(BaseGraph):
         self.extend = extend
         self.gamma = gamma
         self.random_state = random_state
+        self._resolved_seed: Optional[int] = None
         self.walker_batch = walker_batch
         self._device_graph: Optional[DeviceCSR] = None
         self._preprocessed: bool = False
@@ -177,6 +178,24 @@ class Base(BaseGraph):
             self._walk_fn_cache[walk_length] = jax.jit(run)
         return self._walk_fn_cache[walk_length]
 
+    def _seed(self) -> int:
+        """Concrete seed for this instance, resolved exactly once.
+
+        With ``random_state=None`` one entropy draw is pinned on first use,
+        so every later pass (streaming vocab scan, each training epoch, the
+        checkpoint-resume cursor replay) sees the identical start-node
+        shuffle and key tree — the determinism contract ``_walk_chunks``
+        documents holds regardless of how ``random_state`` was set.
+        """
+        if self._resolved_seed is None:
+            if self.random_state is not None:
+                self._resolved_seed = int(self.random_state)
+            else:
+                self._resolved_seed = int(
+                    np.random.default_rng().integers(0, 2**31 - 1)
+                )
+        return self._resolved_seed
+
     def _start_nodes(self, num_walks: int) -> np.ndarray:
         """Every node repeated num_walks times, shuffled under the seed.
 
@@ -186,15 +205,12 @@ class Base(BaseGraph):
         """
         nodes = np.arange(self.num_nodes, dtype=np.int32)
         starts = np.concatenate([nodes] * num_walks)
-        np.random.seed(self.random_state)
+        np.random.seed(self._seed())
         np.random.shuffle(starts)
         return starts
 
     def _base_key(self) -> jax.Array:
-        seed = self.random_state
-        if seed is None:
-            seed = int(np.random.randint(0, 2**31 - 1))
-        return jax.random.PRNGKey(seed)
+        return jax.random.PRNGKey(self._seed())
 
     def _walk_chunks(self, num_walks: int, walk_length: int, base_key):
         """Yield (walks, eff_len) device chunks, deterministically.

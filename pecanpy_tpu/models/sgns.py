@@ -372,8 +372,8 @@ def train(
             ckpt = SGNSCheckpointer(checkpoint_dir)
             if ckpt.latest_step() is not None:
                 w_in_np, w_out_np, meta = ckpt.restore()
-                w_in = jnp.asarray(w_in_np)
-                w_out = jnp.asarray(w_out_np)
+                w_in = jnp.asarray(w_in_np).astype(table_dtype)
+                w_out = jnp.asarray(w_out_np).astype(table_dtype)
                 resume_step = int(meta["next_step"])
 
     use_pallas = jax.default_backend() == "tpu"

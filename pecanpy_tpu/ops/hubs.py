@@ -178,7 +178,35 @@ def build_hub_structures(indptr, indices, data, hub_ids):
     constructions (tie-breaking near q == 1 can differ with float
     summation order). The Python builders remain the portable reference
     and the fallback when no toolchain is present.
+
+    Raises ValueError when the hub-edge or bucket address space exceeds
+    int32 range: ``hub_base``/``bucket_base`` (and the marker slots packed
+    into the fused rows) are int32 offsets, and the rejection sampler
+    computes ``base + slot`` in int32 — totals at or past 2^31 would
+    silently wrap into negative offsets (same class of guard as PreComp's
+    ``E * dpad < 2^31`` check).
     """
+    total_hub_edges = int(
+        (np.asarray(indptr)[np.asarray(hub_ids) + 1]
+         - np.asarray(indptr)[np.asarray(hub_ids)]).sum()
+    )
+    if total_hub_edges >= 2**31:
+        raise ValueError(
+            f"hub edge total {total_hub_edges} exceeds the int32 address "
+            "space of the packed alias rows; shard the graph "
+            "(parallel.distgraph) or raise degree_cap"
+        )
+    result = _build_hub_structures_impl(indptr, indices, data, hub_ids)
+    n_buckets = int(result[2].shape[0])
+    if n_buckets >= 2**31:
+        raise ValueError(
+            f"hub bucket total {n_buckets} exceeds the int32 address "
+            "space of the neighbor hash tables"
+        )
+    return result
+
+
+def _build_hub_structures_impl(indptr, indices, data, hub_ids):
     try:
         from pecanpy_tpu.native.loader import (
             build_hub_tables_native,

@@ -26,6 +26,8 @@ up, their probability stays 0.
 indices (gather-then-compute) are kept for unit tests and scalar-callback
 compatibility shims.
 """
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -160,7 +162,7 @@ def node2vec_plus_weights_rows(
     prev: jax.Array,
     p: float,
     q: float,
-    gamma: float = None,
+    gamma: Optional[float] = None,
 ) -> jax.Array:
     """Second-order node2vec+ biased weights (the ``extend`` mode).
 
@@ -276,7 +278,7 @@ def node2vec_plus_weights(
     prev: jax.Array,
     p: float,
     q: float,
-    gamma: float = None,
+    gamma: Optional[float] = None,
 ) -> jax.Array:
     """Gather-then-compute wrapper around ``node2vec_plus_weights_rows``."""
     return node2vec_plus_weights_rows(

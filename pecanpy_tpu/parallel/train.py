@@ -35,6 +35,15 @@ class MultichipTrainer:
     extend: bool = False
 
     def __post_init__(self):
+        if self.graph.has_hubs:
+            # fused-only step fns would mis-decode hub marker rows as
+            # neighbor lists (silently corrupt walks); route such graphs
+            # through modes._otf_step_fns on one device, or raise
+            # degree_cap (mirrors distgraph.shard_graph's guard)
+            raise NotImplementedError(
+                "MultichipTrainer's fused step does not cover hub "
+                "structures; raise degree_cap or walk on a single device"
+            )
         self._table_sharding = NamedSharding(self.mesh, P(None, MODEL_AXIS))
         self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         self._repl_sharding = NamedSharding(self.mesh, P())

@@ -23,7 +23,12 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session")
 def karate_edg() -> str:
-    return "/root/reference/demo/karate.edg"
+    """In-repo copy of the public-domain Zachary karate club edgelist."""
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "demo",
+        "karate.edg",
+    )
 
 
 @pytest.fixture()

@@ -84,7 +84,7 @@ def test_precomp_first_order_rejects_params(tmp_path, karate_edg):
         )
 
 
-def test_directed_extend_rejected(tmp_path, karate_edg):
+def test_directed_extend_rejected_weighted_cli(tmp_path, karate_edg):
     out = str(tmp_path / "x.emb")
     with pytest.raises(NotImplementedError):
         run_cli(
