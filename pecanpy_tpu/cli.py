@@ -136,6 +136,20 @@ def parse_args(argv=None):
         help="Stream walks into training (regenerated, never stored). "
         "auto: on above ~1e8 tokens.",
     )
+    parser.add_argument(
+        "--devices",
+        type=int,
+        default=None,
+        help="Run the fused multi-device pipeline over this many chips "
+        "(walkers data-parallel, tables tensor-parallel).",
+    )
+    parser.add_argument(
+        "--model-parallel",
+        type=int,
+        default=1,
+        help="Tensor-parallel shards for the embedding tables "
+        "(must divide --devices).",
+    )
     return parser.parse_args(argv)
 
 
@@ -289,7 +303,11 @@ def learn_embeddings(args, g, walks, eff_len):
         seed=args.random_state,
         table_dtype=args.table_dtype,
     )
-    embeddings = np.asarray(sgns.train(walks, eff_len, g.num_nodes, config))
+    embeddings = np.asarray(
+        sgns.train(
+            walks, eff_len, g.num_nodes, config, verbose=args.verbose
+        )
+    )
     save_embeddings(args.output, g.nodes, embeddings)
 
 
@@ -300,6 +318,21 @@ def main(argv=None):
     if g is None:  # conversion task
         return
     preprocess(g)
+
+    if args.devices is not None and args.devices > 1:
+        embeddings = g.embed(
+            dim=args.dimensions,
+            num_walks=args.num_walks,
+            walk_length=args.walk_length,
+            window_size=args.window_size,
+            epochs=args.epochs,
+            verbose=args.verbose,
+            table_dtype=args.table_dtype,
+            n_devices=args.devices,
+            model_parallel=args.model_parallel,
+        )
+        save_embeddings(args.output, g.nodes, np.asarray(embeddings))
+        return
 
     total_tokens = g.num_nodes * args.num_walks * (args.walk_length + 1)
     use_stream = args.streaming == "on" or (

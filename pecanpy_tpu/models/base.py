@@ -15,6 +15,7 @@ is the JAX equivalent — a fixed ``random_state`` yields an identical
 chunking or device count. The two implementations agree *distributionally*
 (same per-step transition law), not sample-for-sample.
 """
+import time
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -226,6 +227,8 @@ class Base(BaseGraph):
         starts = self._start_nodes(num_walks)
         total = starts.size
         chunk = min(self.walker_batch, total)
+        n_chunks = -(-total // chunk)
+        t0 = time.perf_counter()
         for i, lo in enumerate(range(0, total, chunk)):
             part = starts[lo : lo + chunk]
             pad = chunk - part.size
@@ -236,6 +239,16 @@ class Base(BaseGraph):
             )
             if pad:
                 walks, eff = walks[:-pad], eff[:-pad]
+            if self.verbose and n_chunks > 1:
+                done = min(lo + chunk, total)
+                rate = done * walk_length / max(
+                    time.perf_counter() - t0, 1e-9
+                )
+                print(
+                    f"walks: chunk {i + 1}/{n_chunks} "
+                    f"({done}/{total} walkers, {rate:.2e} steps/s)",
+                    flush=True,
+                )
             yield walks, eff
 
     def simulate_walks_device(
@@ -294,6 +307,8 @@ class Base(BaseGraph):
         verbose: bool = False,
         streaming: Optional[bool] = None,
         table_dtype: str = "float32",
+        n_devices: Optional[int] = None,
+        model_parallel: int = 1,
     ) -> Embeddings:
         """Walks + on-device SGNS, returning graph-aligned embeddings.
 
@@ -305,6 +320,11 @@ class Base(BaseGraph):
         (walks regenerated, never stored — the walk engine is ~25x faster
         than training, so regeneration beats a multi-GB walk buffer) once
         the corpus exceeds ~1e8 tokens; pass True/False to force.
+
+        ``n_devices > 1`` runs the fused multi-device pipeline
+        (``parallel/train.py``): walkers data-parallel, embedding tables
+        tensor-parallel over ``model_parallel`` shards, Pallas applier
+        per shard on TPU.
         """
         from pecanpy_tpu.models import sgns
 
@@ -315,6 +335,38 @@ class Base(BaseGraph):
             seed=self.random_state,
             table_dtype=table_dtype,
         )
+
+        if n_devices is not None and n_devices > 1:
+            from pecanpy_tpu.parallel import mesh as mesh_lib
+            from pecanpy_tpu.parallel.train import (
+                MultichipTrainer,
+                train_streaming_multichip,
+            )
+
+            self._preprocess_transition_probs()
+            mesh = mesh_lib.make_mesh(
+                n_devices, model_parallel=model_parallel
+            )
+            trainer = MultichipTrainer(
+                mesh=mesh,
+                graph=self.get_device_graph(),
+                config=config,
+                walk_length=walk_length,
+                p=self.p,
+                q=self.q,
+                extend=self.extend,
+                mode=type(self).__name__,
+            )
+            timed = Timer("multichip walks + training", verbose)(
+                train_streaming_multichip
+            )
+            return timed(
+                trainer,
+                self._start_nodes(num_walks),
+                epochs=epochs,
+                seed=self._seed(),
+                verbose=verbose,
+            )
 
         total_tokens = self.num_nodes * num_walks * (walk_length + 1)
         if streaming is None:
@@ -335,5 +387,7 @@ class Base(BaseGraph):
         timed_walk = Timer("generate walks", verbose)(self.simulate_walks_device)
         walks, eff_len = timed_walk(num_walks, walk_length)
         timed_train = Timer("train embeddings", verbose)(sgns.train)
-        embeddings = timed_train(walks, eff_len, self.num_nodes, config)
+        embeddings = timed_train(
+            walks, eff_len, self.num_nodes, config, verbose=verbose
+        )
         return np.asarray(embeddings)

@@ -40,13 +40,14 @@ one fused device step that never materializes per-pair rows:
    row appears once; stable, gensim-sequential-like when it repeats).
 """
 import dataclasses
+import time
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pecanpy_tpu.ops.apply import apply_mean_updates
+from pecanpy_tpu.ops.apply import apply_mean_updates, apply_mean_updates_two
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,12 +133,32 @@ def build_negative_table(
     return table
 
 
-def make_step_body(num_nodes: int, config: SGNSConfig, use_pallas: bool = False):
+def make_step_body(
+    num_nodes: int,
+    config: SGNSConfig,
+    use_pallas: bool = False,
+    model_axis: Optional[str] = None,
+    data_axis: Optional[str] = None,
+):
     """Build the pure (unjitted) per-chunk training step.
 
-    Exposed separately so the multi-device path can jit it under a mesh
-    with sharding annotations (``pecanpy_tpu.parallel``; that path keeps
-    the XLA scatter applier — the Pallas applier is single-device).
+    Single-device by default. Inside ``shard_map`` the same math runs
+    SPMD with two optional collective hooks (``pecanpy_tpu.parallel``):
+
+    * ``model_axis``: the embedding tables are sharded along ``dim``.
+      Row gathers stay local; the two pair-score einsums produce partial
+      dot products that ``psum`` over the model axis.
+    * ``data_axis``: the walk batch is sharded. The per-shard update
+      streams ``all_gather`` along the data axis before application, so
+      every data shard applies the identical full stream to its
+      (data-replicated) table slice — bitwise-identical tables across
+      shards, and the Pallas applier runs per shard on TPU (no XLA
+      scatter anywhere on the mesh path).
+
+    In sharded mode pass a *data-shard-local* key (fold the axis index
+    in) so walks, subsampling, and negatives differ per shard; the
+    stochastic-rounding seed is psum-shared so bf16 rounding stays
+    identical across data shards.
     """
     window = config.window
     k_neg = config.negative
@@ -148,8 +169,11 @@ def make_step_body(num_nodes: int, config: SGNSConfig, use_pallas: bool = False)
         dim = w_in.shape[1]
         key_sub, key_win, key_neg, key_rnd = jax.random.split(key, 4)
         rng_seed = jax.random.randint(
-            key_rnd, (), 0, 2**31 - 1, dtype=jnp.int32
+            key_rnd, (), 0, 2**30 - 1, dtype=jnp.int32
         )
+        if data_axis is not None:
+            # common across data shards (bf16 rounding must agree)
+            rng_seed = jax.lax.pmin(rng_seed, data_axis)
 
         # 1. Subsample: prune dropped tokens, compact each walk left
         #    (sort-based — XLA scatter-free).
@@ -175,9 +199,10 @@ def make_step_body(num_nodes: int, config: SGNSConfig, use_pallas: bool = False)
         )
         negs = neg_table[slots]  # [Wb, T, K]
         u_neg = w_out[negs].astype(jnp.float32)  # [Wb, T, K, dim]
-        g_neg = jax.nn.sigmoid(
-            jnp.einsum("btd,btkd->btk", v, u_neg)
-        )  # sigma(v_ctx . u_neg), per context token
+        neg_logits = jnp.einsum("btd,btkd->btk", v, u_neg)
+        if model_axis is not None:  # partial dots over the dim shards
+            neg_logits = jax.lax.psum(neg_logits, model_axis)
+        g_neg = jax.nn.sigmoid(neg_logits)  # sigma(v_ctx . u_neg)
 
         # 5. Window interactions as banded batched matmuls. With T <= ~100
         #    the full [T, T] score matrix is tiny for the MXU and avoids
@@ -196,6 +221,8 @@ def make_step_body(num_nodes: int, config: SGNSConfig, use_pallas: bool = False)
         scores = jnp.einsum(
             "bjd,bid->bij", v, uo, preferred_element_type=jnp.float32
         )  # s[i, j] = v_ctx(j) . u_cen(i)
+        if model_axis is not None:
+            scores = jax.lax.psum(scores, model_axis)
         g_pos = (jax.nn.sigmoid(scores) - 1.0) * pm  # [Wb, T, T]
 
         du = jnp.einsum("bij,bjd->bid", g_pos, v)
@@ -223,11 +250,29 @@ def make_step_body(num_nodes: int, config: SGNSConfig, use_pallas: bool = False)
 
         # 6. Apply: capped gradient sums per row, scatter-free on TPU.
         ids_tok = comp.reshape(-1)
+        dv_flat = dv.reshape(-1, dim)
+        cnt_v_flat = cnt_v.reshape(-1)
+        du_flat = du.reshape(-1, dim)
+        cnt_u_flat = cnt_u.reshape(-1)
+        negs_flat = negs.reshape(-1)
+        du_neg_flat = du_neg.reshape(-1, dim)
+        c_v_flat = c_v.reshape(-1)
+        if data_axis is not None:
+            # every data shard applies the identical full update stream
+            # to its table slice (tables are data-replicated)
+            ag = lambda x: jax.lax.all_gather(x, data_axis, tiled=True)
+            ids_tok, dv_flat, cnt_v_flat = map(
+                ag, (ids_tok, dv_flat, cnt_v_flat)
+            )
+            du_flat, cnt_u_flat = map(ag, (du_flat, cnt_u_flat))
+            negs_flat, du_neg_flat, c_v_flat = map(
+                ag, (negs_flat, du_neg_flat, c_v_flat)
+            )
         w_in = apply_mean_updates(
             w_in,
             ids_tok,
-            dv.reshape(-1, dim),
-            cnt_v.reshape(-1),
+            dv_flat,
+            cnt_v_flat,
             lr,
             use_pallas=use_pallas,
             cap=cap,
@@ -236,26 +281,21 @@ def make_step_body(num_nodes: int, config: SGNSConfig, use_pallas: bool = False)
         # center and negative contributions are separate normalization
         # groups (as in per-role sequential SGD): folding them into one
         # mean lets the 5x more numerous negative pushes dominate every
-        # W_out row and the embedding space collapses to one direction
-        w_out = apply_mean_updates(
+        # W_out row and the embedding space collapses to one direction.
+        # Both groups apply in ONE table pass (half the w_out traffic).
+        w_out = apply_mean_updates_two(
             w_out,
             ids_tok,
-            du.reshape(-1, dim),
-            cnt_u.reshape(-1),
+            du_flat,
+            cnt_u_flat,
+            negs_flat,
+            du_neg_flat,
+            c_v_flat,
             lr,
             use_pallas=use_pallas,
-            cap=cap,
+            cap_a=cap,
+            cap_b=cap,
             rng_seed=rng_seed + 1,
-        )
-        w_out = apply_mean_updates(
-            w_out,
-            negs.reshape(-1),
-            du_neg.reshape(-1, dim),
-            c_v.reshape(-1),
-            lr,
-            use_pallas=use_pallas,
-            cap=cap,
-            rng_seed=rng_seed + 2,
         )
         return w_in, w_out
 
@@ -269,35 +309,41 @@ def _make_step(num_nodes: int, config: SGNSConfig, use_pallas: bool):
     )
 
 
-def _make_indexed_step(
+def _make_span_step(
     num_nodes: int, config: SGNSConfig, use_pallas: bool, chunk: int
 ):
-    """One-dispatch-per-chunk step: slice, lr lookup, and key derivation
-    all happen in-graph.
+    """One-dispatch-per-SPAN step: a ``fori_loop`` over chunk-steps with
+    slice, lr lookup, and key derivation all in-graph.
 
-    Over a tunneled device link every dispatch costs ~75 ms of RPC
-    latency; the naive loop issues ~5 tiny dispatches per chunk (walk
-    slice, lr scalar, fold_in, ...) and the latency dwarfs the 72 ms of
-    actual compute. This variant takes the *full* walk buffer plus a
-    chunk index and runs everything in one program.
+    Over a tunneled device link every dispatch costs ~75-200 ms of RPC
+    latency; dispatching chunk-steps one by one spends more time on the
+    wire than on the device. This program takes the *full* walk buffer
+    plus a global-step span [g_lo, g_hi) and trains every chunk in it in
+    one dispatch. The per-step key is ``fold_in(key0, g)`` — a pure
+    function of the global step — so any span split (checkpoint
+    boundaries, max_steps, resume) produces the identical parameter
+    trajectory.
 
-    Args of the returned fn: (w_in, w_out, walks_full, eff_full,
-    keep_prob, neg_table, lrs, key0, g, g0) where ``g`` is the global
-    step (keys fold ``key0`` with g, matching the unbatched trainer) and
-    ``g - g0`` indexes the chunk and its lr within this walk buffer.
+    ``g - g0`` indexes the chunk and its lr within this walk buffer;
     ``walks_full`` must be pre-padded to a multiple of ``chunk`` rows.
     """
     body = make_step_body(num_nodes, config, use_pallas)
 
     def run(w_in, w_out, walks_full, eff_full, keep_prob, neg_table,
-            lrs, key0, g, g0):
-        i = g - g0
-        walks = jax.lax.dynamic_slice_in_dim(walks_full, i * chunk, chunk, 0)
-        eff = jax.lax.dynamic_slice_in_dim(eff_full, i * chunk, chunk, 0)
-        return body(
-            w_in, w_out, walks, eff, keep_prob, neg_table, lrs[i],
-            jax.random.fold_in(key0, g),
-        )
+            lrs, key0, g_lo, g_hi, g0):
+        def step(g, carry):
+            w_in, w_out = carry
+            i = g - g0
+            walks = jax.lax.dynamic_slice_in_dim(
+                walks_full, i * chunk, chunk, 0
+            )
+            eff = jax.lax.dynamic_slice_in_dim(eff_full, i * chunk, chunk, 0)
+            return body(
+                w_in, w_out, walks, eff, keep_prob, neg_table, lrs[i],
+                jax.random.fold_in(key0, g),
+            )
+
+        return jax.lax.fori_loop(g_lo, g_hi, step, (w_in, w_out))
 
     return jax.jit(run, donate_argnums=(0, 1))
 
@@ -313,6 +359,20 @@ def _chunk_lrs(config, eff_sums, done_tokens, total_tokens):
     ).astype(np.float32)
 
 
+def _progress(verbose, t0, done_tokens, total_tokens):
+    """One flushed progress line per applied span (replaces the
+    reference's per-walk ProgressBar, ``pecanpy.py:148,208``)."""
+    if not verbose:
+        return
+    rate = done_tokens / max(time.perf_counter() - t0, 1e-9)
+    print(
+        f"SGNS: {done_tokens:.3e}/{total_tokens:.3e} tokens "
+        f"({100.0 * done_tokens / max(total_tokens, 1.0):.1f}%, "
+        f"{rate:.2e} tokens/s)",
+        flush=True,
+    )
+
+
 def train(
     walks: jax.Array,
     eff_len: jax.Array,
@@ -321,6 +381,7 @@ def train(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 100,
     max_steps: Optional[int] = None,
+    verbose: bool = False,
 ) -> jax.Array:
     """Train SGNS embeddings from device walks.
 
@@ -382,7 +443,7 @@ def train(
     chunk = min(
         resolve_batch_walks(config, num_nodes, walks.shape[1]), num_walks
     )
-    step = _make_indexed_step(num_nodes, config, use_pallas, chunk)
+    step = _make_span_step(num_nodes, config, use_pallas, chunk)
     eff_host = np.asarray(eff_len)
     total_tokens = float(eff_host.sum()) * config.epochs
     done_tokens = 0.0
@@ -399,24 +460,33 @@ def train(
     )
 
     step_idx = 0
+    t_start = time.perf_counter()
     for epoch in range(config.epochs):
         lrs = jnp.asarray(
             _chunk_lrs(config, eff_sums, done_tokens, total_tokens)
         )
         g0 = epoch * n_chunks
-        for i in range(n_chunks):
+        g = g0
+        while g < g0 + n_chunks:
             if max_steps is not None and step_idx >= max_steps:
                 break
             if step_idx < resume_step:  # replay the cursor, skip the work
-                done_tokens += float(eff_sums[i])
+                done_tokens += float(eff_sums[g - g0])
                 step_idx += 1
+                g += 1
                 continue
+            span = _span_len(
+                g0 + n_chunks - g, step_idx, resume_step, max_steps,
+                checkpoint_every if ckpt is not None else None,
+            )
             w_in, w_out = step(
                 w_in, w_out, walks, eff_len, keep_prob, neg_table,
-                lrs, k_train, step_idx, g0,
+                lrs, k_train, g, g + span, g0,
             )
-            done_tokens += float(eff_sums[i])
-            step_idx += 1
+            done_tokens += float(eff_sums[g - g0 : g - g0 + span].sum())
+            step_idx += span
+            g += span
+            _progress(verbose, t_start, done_tokens, total_tokens)
             if ckpt is not None and step_idx % checkpoint_every == 0:
                 ckpt.save(
                     step_idx, w_in, w_out, {"next_step": step_idx}
@@ -425,6 +495,21 @@ def train(
     if ckpt is not None:
         ckpt.close()
     return w_in.astype(jnp.float32)
+
+
+def _span_len(remaining, step_idx, resume_step, max_steps, checkpoint_every):
+    """Chunk-steps to run in the next single dispatch.
+
+    Bounded by the end of the walk buffer, the max_steps budget, and the
+    next checkpoint boundary (snapshots happen between dispatches).
+    """
+    span = remaining
+    if max_steps is not None:
+        span = min(span, max_steps - step_idx)
+    if checkpoint_every is not None:
+        next_ckpt = (step_idx // checkpoint_every + 1) * checkpoint_every
+        span = min(span, next_ckpt - step_idx)
+    return max(int(span), 1)
 
 
 def train_streaming(
@@ -508,6 +593,7 @@ def train_streaming(
     done_tokens = 0.0
     step_idx = 0
     stop = False
+    t_start = time.perf_counter()
     for epoch in range(config.epochs):
         if stop:
             break
@@ -516,7 +602,7 @@ def train_streaming(
                 break
             chunk = resolve_batch_walks(config, num_nodes, walks.shape[1])
             if step is None:
-                step = _make_indexed_step(
+                step = _make_span_step(
                     num_nodes, config, use_pallas, chunk
                 )
             eff_host = np.asarray(eff_len)
@@ -533,20 +619,28 @@ def train_streaming(
                 _chunk_lrs(config, eff_sums, done_tokens, total_tokens)
             )
             g0 = step_idx
-            for i in range(n_chunks):
+            g = g0
+            while g < g0 + n_chunks:
                 if max_steps is not None and step_idx >= max_steps:
                     stop = True
                     break
                 if step_idx < resume_step:  # replay the cursor only
-                    done_tokens += float(eff_sums[i])
+                    done_tokens += float(eff_sums[g - g0])
                     step_idx += 1
+                    g += 1
                     continue
+                span = _span_len(
+                    g0 + n_chunks - g, step_idx, resume_step, max_steps,
+                    checkpoint_every if ckpt is not None else None,
+                )
                 w_in, w_out = step(
                     w_in, w_out, walks, eff_len, keep_prob, neg_table,
-                    lrs, k_train, step_idx, g0,
+                    lrs, k_train, g, g + span, g0,
                 )
-                done_tokens += float(eff_sums[i])
-                step_idx += 1
+                done_tokens += float(eff_sums[g - g0 : g - g0 + span].sum())
+                step_idx += span
+                g += span
+                _progress(verbose, t_start, done_tokens, total_tokens)
                 if ckpt is not None and step_idx % checkpoint_every == 0:
                     ckpt.save(
                         step_idx, w_in, w_out, {"next_step": step_idx}

@@ -11,12 +11,13 @@ fixed-width float32 row, channel-packed:
 
 so a batch of B walkers fetches all per-node state with a single gather.
 
-Why one wide row instead of separate nbr/wgt matrices: on TPU (v5e measured)
-XLA's gather hits a fast path when the gathered row slice is >= 64 lanes of
-float32 (256 B) — ~73M rows/s vs ~2M rows/s for narrow rows. Fusing the
-channels turns 2-4 slow gathers per walk step into one fast one (~7x total
-walk throughput). Memory is free: the TPU tiles the minor dimension to 128
-lanes anyway, so [N, 38] and [N, 64] occupy identical HBM.
+Why one wide row instead of separate nbr/wgt matrices: on TPU (v5e,
+re-measured round 2 — ``benchmarks/micro_gather.py``) gather throughput is
+descriptor-rate-bound at ~50M rows/s and nearly independent of row width
+from 8 to 256 lanes, so the cost unit is the ROW ACCESS, not the byte.
+Fusing the channels turns 2-4 row accesses per walk step into one (~7x
+total walk throughput). Memory is free: the TPU tiles the minor dimension
+to 128 lanes anyway, so [N, 38] and [N, 64] occupy identical HBM.
 
 Layout invariants (the transition kernels rely on all of these):
 
@@ -64,16 +65,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Hub-table row shapes. Measured on v5e: gather throughput is
+# descriptor-rate-bound (~50M rows/s) and essentially independent of row
+# width from 8 to 256 lanes, so the tables stay at their natural narrow
+# widths; the one packing win kept is fusing the bucket keys and values
+# into a single 16-lane row (one gather per membership probe, not two).
+HB_WIDTH = 2 * hubs_lib.BUCKET_WIDTH  # 8 key lanes (int32 bitcast) + 8 vals
+
+
 def _empty_pack():
     return jnp.empty((0, hubs_lib.EP_WIDTH), dtype=jnp.float32)
 
 
-def _empty_bucket_i():
-    return jnp.empty((0, hubs_lib.BUCKET_WIDTH), dtype=jnp.int32)
-
-
-def _empty_bucket_f():
-    return jnp.empty((0, hubs_lib.BUCKET_WIDTH), dtype=jnp.float32)
+def _empty_buckets():
+    return jnp.empty((0, HB_WIDTH), dtype=jnp.float32)
 
 
 @jax.tree_util.register_dataclass
@@ -99,10 +104,10 @@ class DeviceCSR:
     deg: jax.Array
     threshold: jax.Array
     indptr: jax.Array
-    # hub structures (empty arrays when has_hubs is False; see ops/hubs.py)
+    # hub structures (empty when has_hubs is False; see ops/hubs.py for
+    # the logical layout and HB_WIDTH above for the bucket row packing)
     edge_pack: jax.Array = dataclasses.field(default_factory=_empty_pack)
-    hkey8: jax.Array = dataclasses.field(default_factory=_empty_bucket_i)
-    hval8: jax.Array = dataclasses.field(default_factory=_empty_bucket_f)
+    hbuckets: jax.Array = dataclasses.field(default_factory=_empty_buckets)
     channels: Tuple[str, ...] = dataclasses.field(
         metadata=dict(static=True), default=("nbr", "wgt")
     )
@@ -178,6 +183,31 @@ class DeviceCSR:
     def rows_hub_wsum(self, rows: jax.Array) -> jax.Array:
         """[B] total edge weight stored in hub rows (wgt channel slot 1)."""
         return self.rows_wgt(rows)[:, 1]
+
+    # -- hub-table lookups (one row gather each) ------------------------------
+
+    def fetch_edge_slots(self, slot: jax.Array) -> jax.Array:
+        """[..., EP_WIDTH] resolved alias slot rows by global slot index.
+
+        The proposal step of the rejection sampler (``ops/rejection.py``).
+        Overridden by the edge-partitioned layout with a collective fetch
+        (``parallel/distgraph.py``).
+        """
+        hi = max(self.edge_pack.shape[0] - 1, 0)
+        return self.edge_pack[jnp.clip(slot, 0, hi)]
+
+    def fetch_bucket(self, bucket: jax.Array):
+        """(keys [..., 8] int32, vals [..., 8] f32) of one hash bucket.
+
+        One 16-lane gather serves both the key and value halves (the
+        logical hkey8/hval8 pair rides in one row), replacing the two
+        narrow gathers of the split layout.
+        """
+        hi = max(self.hbuckets.shape[0] - 1, 0)
+        r = self.hbuckets[jnp.clip(bucket, 0, hi)]
+        w = hubs_lib.BUCKET_WIDTH
+        keys = jax.lax.bitcast_convert_type(r[..., :w], jnp.int32)
+        return keys, r[..., w:]
 
     # -- whole-table views (preprocessing / tests; not walk-hot) -------------
 
@@ -351,10 +381,13 @@ def build_device_csr(
         wgt_p[hub_ids, 1] = (
             csum[indptr[hub_ids + 1]] - csum[indptr[hub_ids]]
         ).astype(np.float32)
+        # keys bitcast into the left half of the bucket row, values right
+        buckets = np.concatenate(
+            [hkey8.view(np.float32), hval8], axis=1
+        )  # [NB, 16]
         hub_kwargs = dict(
             edge_pack=jnp.asarray(edge_pack),
-            hkey8=jnp.asarray(hkey8),
-            hval8=jnp.asarray(hval8),
+            hbuckets=jnp.asarray(buckets),
         )
 
     channels_data = [("nbr", nbr_p), ("wgt", wgt_p)]

@@ -37,6 +37,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pecanpy_tpu.ops import hubs as hubs_lib
 from pecanpy_tpu.ops import sampling
@@ -44,18 +45,17 @@ from pecanpy_tpu.ops.layout import DeviceCSR
 from pecanpy_tpu.ops.transition import row_thresholds
 
 _EPS = 1e-30
-_KNUTH = jnp.uint32(2654435761)
+_KNUTH = np.uint32(2654435761)  # plain numpy: no backend init at import
 
-FIRST_ROUND_TRIALS = 4  # candidates per lane in the full-batch round
-SWEEP_TRIALS = 8  # candidates per lane in each compacted sweep
-COMPACT_FRACTION = 4  # sub-batch = B / COMPACT_FRACTION
+# Knobs swept on v5e (benchmarks/tune_rejection.py, 1M-node Chung-Lu
+# mixed batch): sweeps dominate the cost, so round 0 stays lean (2
+# trials), the compacted sub-batch is small (B/8), and each sweep packs
+# 16 trials per lane to drain its queue in one pass. 84.5 -> 41.7 ms per
+# step vs the round-1 defaults (4, 8, 4).
+FIRST_ROUND_TRIALS = 2  # candidates per lane in the full-batch round
+SWEEP_TRIALS = 16  # candidates per lane in each compacted sweep
+COMPACT_FRACTION = 8  # sub-batch = B / COMPACT_FRACTION
 SWEEP_CAP = 256  # hard bound on while_loop sweeps (safety, never hit)
-
-
-def _safe_rows(arr: jax.Array, idx: jax.Array) -> jax.Array:
-    """Row gather from a (possibly empty) table with clamped indices."""
-    hi = max(arr.shape[0] - 1, 0)
-    return arr[jnp.clip(idx, 0, hi)]
 
 
 def alias_propose(
@@ -75,7 +75,7 @@ def alias_propose(
         deg = deg[:, None]
         base = base[:, None]
     kk = jax.random.randint(k_slot, shape, 0, jnp.maximum(deg, 1))
-    rows = _safe_rows(dg.edge_pack, base + kk.astype(jnp.int32))
+    rows = dg.fetch_edge_slots(base + kk.astype(jnp.int32))
     take_self = (
         jax.random.uniform(k_acc, shape) < rows[..., hubs_lib.EP_ACCEPT]
     )
@@ -149,7 +149,7 @@ def uniform_propose(
     x_s = sampling.pick_int_columns(dg.rows_nbr(cur_rows), kk)
     if not dg.has_hubs:
         return x_s
-    rows = _safe_rows(dg.edge_pack, dg.rows_edge_base(cur_rows) + kk)
+    rows = dg.fetch_edge_slots(dg.rows_edge_base(cur_rows) + kk)
     x_h = jax.lax.bitcast_convert_type(
         rows[..., hubs_lib.EP_NBR_SELF], jnp.int32
     )
@@ -187,10 +187,9 @@ def membership(
     bucket = hbase + ((x.astype(jnp.uint32) * _KNUTH) & mask).astype(
         jnp.int32
     )
-    keys = _safe_rows(dg.hkey8, bucket)  # [..., 8]
+    keys, vals = dg.fetch_bucket(bucket)  # one 64-lane gather
     hit = keys == x[..., None]
     found_h = jnp.any(hit, axis=-1)
-    vals = _safe_rows(dg.hval8, bucket)
     w_h = jnp.sum(jnp.where(hit, vals, 0.0), axis=-1)
 
     is_hub = dg.rows_is_hub(prev_rows)
@@ -339,12 +338,26 @@ def second_order_sample(
     s = min(max(-(-b // COMPACT_FRACTION), 8), b)
     lanes = jnp.arange(b, dtype=jnp.int32)
 
+    # When the hub tables are row-sharded (parallel/distgraph.py), every
+    # fetch inside the sweep is a collective — all shards must take the
+    # same number of sweeps or the collectives deadlock, so the loop
+    # condition is the psum-shared global pending count.
+    sync_axis = getattr(dg, "loop_sync_axis", None)
+
+    def pending_of(accepted):
+        n_pend = jnp.sum(~accepted)
+        if sync_axis is not None:
+            n_pend = jax.lax.psum(n_pend, sync_axis)
+        return n_pend
+
     def cond(state):
-        _, accepted, t = state
-        return jnp.any(~accepted) & (t < SWEEP_CAP)
+        # the count is computed in the body and carried (a collective in
+        # the cond itself would not lower under shard_map)
+        _, _, pend, t = state
+        return (pend > 0) & (t < SWEEP_CAP)
 
     def body(state):
-        nxt, accepted, t = state
+        nxt, accepted, _, t = state
         unacc = ~accepted
         pos = jnp.cumsum(unacc) - 1
         slot_lane = (
@@ -376,9 +389,9 @@ def second_order_sample(
         # safety-cap fallback: keep the freshest proposal
         fb_to = jnp.where(valid & ~ok_sub & (t + 1 >= SWEEP_CAP), idx, b)
         nxt = nxt.at[fb_to].set(x_sub, mode="drop")
-        return nxt, accepted, t + 1
+        return nxt, accepted, pending_of(accepted), t + 1
 
-    nxt, accepted, _ = jax.lax.while_loop(
-        cond, body, (nxt, accepted, jnp.int32(0))
+    nxt, accepted, _, _ = jax.lax.while_loop(
+        cond, body, (nxt, accepted, pending_of(accepted), jnp.int32(0))
     )
     return nxt

@@ -19,12 +19,20 @@ and XLA lays the psum onto ICI. The traffic-optimal variant (request/
 response all-to-all, O(B/S) per link instead of O(B)) is the documented
 follow-up; it changes only ``gather_rows`` here.
 
-Scope: fused-path modes (SparseOTF / DenseOTF / FirstOrderUnweighted,
-with or without node2vec+). Hub structures and PreComp tables are not
-row-shardable yet — ``shard_graph`` rejects graphs that need them.
+Hub graphs shard the same way: ``edge_pack`` and ``hbuckets`` row-shard
+over the data axis, the rejection sampler's per-trial fetches go through
+the identical all_gather + int-psum exchange, and its compaction
+``while_loop`` syncs its trip count across shards via a psum-carried
+pending counter (``rejection.second_order_sample``) so the in-loop
+collectives never deadlock. PreComp's per-edge tables remain
+single-device (their Σdeg² footprint is the reason that mode targets
+small graphs).
+
+Scope: SparseOTF / DenseOTF / FirstOrderUnweighted, with or without
+node2vec+, hub graphs included.
 """
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,9 +40,44 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pecanpy_tpu.models import engine
+from pecanpy_tpu.ops import hubs as hubs_lib
 from pecanpy_tpu.ops import rejection, sampling, transition
 from pecanpy_tpu.ops.layout import DeviceCSR
 from pecanpy_tpu.parallel.mesh import DATA_AXIS
+
+
+def _collective_fetch(
+    table_local: jax.Array,
+    idx: jax.Array,
+    rows_per_shard: int,
+    axis: str,
+) -> jax.Array:
+    """Row fetch from a row-sharded table inside shard_map.
+
+    all_gather the flat indices (4 B per lane), gather the locally-owned
+    rows, combine with an exact integer psum (float payloads are bitcast
+    int32 — a float psum would flush denormal-coded ids to zero on FTZ
+    hardware), and slice back this shard's part of the batch.
+
+    ``idx`` may be any shape; returns ``idx.shape + (row_width,)``.
+    """
+    shape = idx.shape
+    flat = idx.reshape(-1)
+    all_idx = jax.lax.all_gather(flat, axis, tiled=True)
+    base = jax.lax.axis_index(axis) * rows_per_shard
+    local = all_idx - base
+    mine = (local >= 0) & (local < rows_per_shard)
+    rows = table_local[jnp.clip(local, 0, max(rows_per_shard - 1, 0))]
+    rows_i = jax.lax.bitcast_convert_type(rows, jnp.int32)
+    rows_i = jnp.where(mine[:, None], rows_i, 0)
+    rows_i = jax.lax.psum(rows_i, axis)
+    b_local = flat.shape[0]
+    start = jax.lax.axis_index(axis) * b_local
+    rows_i = jax.lax.dynamic_slice(
+        rows_i, (start, 0), (b_local, rows_i.shape[1])
+    )
+    out = jax.lax.bitcast_convert_type(rows_i, jnp.float32)
+    return out.reshape(shape + (table_local.shape[1],))
 
 
 @jax.tree_util.register_dataclass
@@ -59,6 +102,9 @@ class ShardedDeviceCSR(DeviceCSR):
     capacity: int = dataclasses.field(
         metadata=dict(static=True), default=0
     )
+    # rows per shard of the row-sharded hub tables (0 = no hubs)
+    ep_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
+    hb_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def num_nodes(self) -> int:  # sentinel space is the GLOBAL node count
@@ -67,6 +113,27 @@ class ShardedDeviceCSR(DeviceCSR):
     @property
     def rows_per_shard(self) -> int:
         return self.fused.shape[0]
+
+    @property
+    def loop_sync_axis(self) -> str:
+        """Axis the rejection sampler syncs its sweep loop over (its
+        in-loop fetches are collectives here)."""
+        return self.axis
+
+    def fetch_edge_slots(self, slot: jax.Array) -> jax.Array:
+        n_shards = jax.lax.axis_size(self.axis)
+        slot = jnp.clip(slot, 0, max(self.ep_rows * n_shards - 1, 0))
+        return _collective_fetch(
+            self.edge_pack, slot, self.ep_rows, self.axis
+        )
+
+    def fetch_bucket(self, bucket: jax.Array):
+        n_shards = jax.lax.axis_size(self.axis)
+        bucket = jnp.clip(bucket, 0, max(self.hb_rows * n_shards - 1, 0))
+        r = _collective_fetch(self.hbuckets, bucket, self.hb_rows, self.axis)
+        w = hubs_lib.BUCKET_WIDTH
+        keys = jax.lax.bitcast_convert_type(r[..., :w], jnp.int32)
+        return keys, r[..., w:]
 
     def gather_rows(self, idx: jax.Array) -> jax.Array:
         if self.exchange == "alltoall":
@@ -168,41 +235,76 @@ class ShardedDeviceCSR(DeviceCSR):
         return jax.lax.bitcast_convert_type(rows_i, jnp.float32)
 
 
-def shard_graph(
-    graph: DeviceCSR, mesh: Mesh
-) -> Tuple[DeviceCSR, int]:
-    """Pad + device_put the fused table row-sharded over the data axis.
+@dataclasses.dataclass(frozen=True)
+class ShardMeta:
+    """Per-table rows-per-shard of a sharded graph (static plan)."""
 
-    Returns (sharded graph container, rows_per_shard). The returned
-    object still carries the full logical metadata; ``distributed_walk``
-    re-wraps each shard's slice as a ``ShardedDeviceCSR`` inside
-    shard_map.
+    fused_rows: int
+    ep_rows: int = 0
+    hb_rows: int = 0
+
+
+def _put(arr, sharding):
+    """Lay out host data under a sharding, multi-process-safe.
+
+    ``jax.device_put`` cannot target non-addressable shards; the
+    callback form hands each process exactly its local blocks (every
+    process holds the full host copy — fine at graph-build scales).
     """
-    if graph.has_hubs:
-        raise NotImplementedError(
-            "row-sharded walking does not cover hub structures yet; "
-            "raise degree_cap or use the replicated-graph path"
-        )
+    arr = np.asarray(arr)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def _shard_rows(arr, mesh, pad_value=0.0):
+    """Pad a [R, W] table to a multiple of the data-axis size and lay it
+    out row-sharded. Returns (device array, rows per shard)."""
     n_shards = mesh.shape[DATA_AXIS]
-    n = graph.fused.shape[0]
-    rows = -(-n // n_shards)
-    pad = rows * n_shards - n
-    fused = graph.fused
+    arr = np.asarray(arr)
+    r = arr.shape[0]
+    rows = max(-(-r // n_shards), 1)
+    pad = rows * n_shards - r
     if pad:
-        # padded rows read as zero-degree sentinels (nbr bitcast 0.0 is
-        # node id 0 — but their weight row is 0 and no walker can reach
-        # them: node ids stay < n)
-        fused = jnp.pad(fused, ((0, pad), (0, 0)))
+        arr = np.concatenate(
+            [arr, np.full((pad, arr.shape[1]), pad_value, arr.dtype)]
+        )
     sharding = NamedSharding(mesh, P(DATA_AXIS, None))
-    fused = jax.device_put(fused, sharding)
-    out = dataclasses.replace(graph, fused=fused)
-    return out, rows
+    return _put(arr, sharding), rows
+
+
+def shard_graph(graph: DeviceCSR, mesh: Mesh):
+    """Pad + device_put the graph tables row-sharded over the data axis.
+
+    Returns (sharded graph container, ShardMeta). The returned object
+    still carries the full logical metadata; ``distributed_walk_fn``
+    re-wraps each shard's slice as a ``ShardedDeviceCSR`` inside
+    shard_map. Hub graphs shard their alias/bucket tables the same way.
+    """
+    # padded fused rows read as zero-degree sentinels (nbr bitcast 0.0 is
+    # node id 0 — but their weight row is 0 and no walker can reach
+    # them: node ids stay < n)
+    fused, rows = _shard_rows(graph.fused, mesh)
+    # bucket pad keys are -1 bitcast (never a node id): a clamped
+    # out-of-range probe cannot fake a membership hit. Non-hub graphs
+    # still lay out (padded-empty) tables so the shard_map signature is
+    # uniform; their fetchers are never traced.
+    neg1 = float(np.int32(-1).view(np.float32))
+    ep, ep_rows = _shard_rows(graph.edge_pack, mesh)
+    hb, hb_rows = _shard_rows(graph.hbuckets, mesh, pad_value=neg1)
+    threshold = _put(graph.threshold, NamedSharding(mesh, P()))
+    out = dataclasses.replace(
+        graph, fused=fused, edge_pack=ep, hbuckets=hb, threshold=threshold
+    )
+    return out, ShardMeta(fused_rows=rows, ep_rows=ep_rows, hb_rows=hb_rows)
 
 
 def distributed_walk_fn(
     mesh: Mesh,
     graph: DeviceCSR,
-    rows_per_shard: int,
+    meta: ShardMeta,
     walk_length: int,
     p: float = 1.0,
     q: float = 1.0,
@@ -213,19 +315,15 @@ def distributed_walk_fn(
 ):
     """Compiled sharded walk program: starts sharded in, walks sharded out.
 
-    The walk engine runs unchanged inside ``shard_map``; only
-    ``gather_rows`` differs (the collective fetch above).
+    The walk engine runs unchanged inside ``shard_map``; only the row
+    fetches differ (the collective exchanges above). Hub graphs route
+    through the same rejection sampler as single-device walking, with
+    its trial fetches collective and its sweep loop psum-synced.
     """
     num_nodes = graph.num_nodes
-    kernel = (
-        transition.node2vec_plus_weights_rows
-        if extend
-        else transition.node2vec_weights_rows
-    )
-
     n_shards = mesh.shape[DATA_AXIS]
 
-    def walk(fused_local, threshold, starts_local, key):
+    def walk(fused_local, ep_local, hb_local, threshold, starts_local, key):
         b_local = starts_local.shape[0]
         cap = capacity
         if cap is None:
@@ -236,13 +334,18 @@ def distributed_walk_fn(
             deg=jnp.zeros(0, jnp.int32),  # unused in the fused path
             threshold=threshold,
             indptr=jnp.zeros(0, jnp.int32),
+            edge_pack=ep_local,
+            hbuckets=hb_local,
             channels=graph.channels,
             dpad=graph.dpad,
             max_degree=graph.max_degree,
             gamma=graph.gamma,
+            has_hubs=graph.has_hubs,
             global_nodes=num_nodes,
             exchange=exchange,
             capacity=cap,
+            ep_rows=meta.ep_rows,
+            hb_rows=meta.hb_rows,
         )
         key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
 
@@ -253,15 +356,15 @@ def distributed_walk_fn(
             def step_fn(k, cur, prev, cur_rows, prev_rows):
                 return rejection.uniform_propose(dg, k, cur_rows)
         else:
+            from pecanpy_tpu.models.modes import _otf_step_fns
+
+            f0, s0 = _otf_step_fns(p, q, extend)
+
             def first_fn(k, cur, cur_rows):
-                w = transition.first_order_weights_rows(dg, cur_rows)
-                c = sampling.categorical_rows(k, w)
-                return sampling.pick_int_columns(dg.rows_nbr(cur_rows), c)
+                return f0(dg, (), k, cur, cur_rows)
 
             def step_fn(k, cur, prev, cur_rows, prev_rows):
-                w = kernel(dg, cur_rows, prev_rows, prev, p, q)
-                c = sampling.categorical_rows(k, w)
-                return sampling.pick_int_columns(dg.rows_nbr(cur_rows), c)
+                return s0(dg, (), k, cur, prev, cur_rows, prev_rows)
 
         return engine.generate_walks(
             dg, first_fn, step_fn, starts_local, key, walk_length
@@ -270,14 +373,21 @@ def distributed_walk_fn(
     mapped = jax.shard_map(
         walk,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(), P(DATA_AXIS), P()),
+        in_specs=(
+            P(DATA_AXIS, None),
+            P(DATA_AXIS, None),
+            P(DATA_AXIS, None),
+            P(),
+            P(DATA_AXIS),
+            P(),
+        ),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
         check_vma=False,
     )
 
     @jax.jit
-    def run(fused, threshold, starts, key):
-        return mapped(fused, threshold, starts, key)
+    def run(fused, edge_pack, hbuckets, threshold, starts, key):
+        return mapped(fused, edge_pack, hbuckets, threshold, starts, key)
 
     return run
 
@@ -295,22 +405,27 @@ def simulate_walks_distributed(
     exchange: str = "psum",
     capacity: Optional[int] = None,
 ):
-    """One-call sharded walk generation over an edge-partitioned graph."""
-    sharded, rows = shard_graph(graph, mesh)
+    """One-call sharded walk generation over an edge-partitioned graph.
+
+    Works on a single-process mesh and on a multi-process
+    (``jax.distributed``) global mesh alike: every process passes the
+    identical full ``starts`` schedule and receives the global sharded
+    result (read your process's part via ``.addressable_shards`` /
+    ``parallel.multihost.local_array``).
+    """
+    sharded, meta = shard_graph(graph, mesh)
     n_shards = mesh.shape[DATA_AXIS]
     b = starts.size
     pad = (-b) % n_shards
     starts = np.pad(np.asarray(starts, dtype=np.int32), (0, pad))
-    starts_dev = jax.device_put(
-        jnp.asarray(starts), NamedSharding(mesh, P(DATA_AXIS))
-    )
+    starts_dev = _put(starts, NamedSharding(mesh, P(DATA_AXIS)))
     fn = distributed_walk_fn(
-        mesh, graph, rows, walk_length, p, q, extend, mode,
+        mesh, graph, meta, walk_length, p, q, extend, mode,
         exchange=exchange, capacity=capacity,
     )
     walks, eff = fn(
-        sharded.fused, sharded.threshold, starts_dev,
-        jax.random.PRNGKey(seed or 0),
+        sharded.fused, sharded.edge_pack, sharded.hbuckets,
+        sharded.threshold, starts_dev, jax.random.PRNGKey(seed or 0),
     )
     if pad:
         walks, eff = walks[:-pad], eff[:-pad]

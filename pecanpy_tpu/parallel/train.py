@@ -1,23 +1,39 @@
-"""Multi-device fused training step: sharded walks + sharded SGNS update.
+"""Multi-device fused training: sharded walks + sharded SGNS updates.
 
-One jitted program per step: a batch of walkers (sharded over the ``data``
-mesh axis) advances ``walk_length`` steps over the replicated graph, the
-resulting walks expand into skip-gram pairs, and the tensor-parallel
-embedding tables (sharded over ``model``) take one SGNS SGD update. GSPMD
-derives all collectives from the sharding annotations: a ``psum`` over
-``model`` for the pair scores, an all-reduce over ``data`` for the table
-updates.
+One ``shard_map`` program per step: a batch of walkers (sharded over the
+``data`` mesh axis) advances ``walk_length`` steps over the replicated
+graph — hub graphs included, via the same rejection path as single-device
+walking — the walks expand into skip-gram pairs, and the tensor-parallel
+embedding tables (sharded along ``dim`` over ``model``) take one SGNS
+update. Collectives are explicit (``models/sgns.py`` ``make_step_body``):
+
+* ``psum`` over ``model`` for the two pair-score einsums (partial dots of
+  dim-sharded rows);
+* ``all_gather`` over ``data`` for the update streams, so every data
+  shard applies the identical full stream to its (data-replicated) table
+  slice — tables stay bitwise-identical across data shards, and the
+  Pallas applier (``ops/apply.py``) runs per shard on TPU. No XLA
+  scatter executes anywhere on the mesh path.
+
+``shard_map`` (not GSPMD sharding annotations) because the Pallas applier
+must run per-shard — under plain ``jit`` XLA cannot partition a custom
+kernel call.
+
+The reference has no distributed backend at all (SURVEY §5); this module
+is new capability, constrained only to reproduce the single-device
+training semantics per step.
 """
 import dataclasses
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pecanpy_tpu.models import engine, sgns
 from pecanpy_tpu.models.sgns import SGNSConfig
-from pecanpy_tpu.ops import sampling, transition
+from pecanpy_tpu.ops import rejection
 from pecanpy_tpu.ops.layout import DeviceCSR
 from pecanpy_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
@@ -33,83 +49,154 @@ class MultichipTrainer:
     p: float = 1.0
     q: float = 1.0
     extend: bool = False
+    mode: str = "SparseOTF"
 
     def __post_init__(self):
-        if self.graph.has_hubs:
-            # fused-only step fns would mis-decode hub marker rows as
-            # neighbor lists (silently corrupt walks); route such graphs
-            # through modes._otf_step_fns on one device, or raise
-            # degree_cap (mirrors distgraph.shard_graph's guard)
-            raise NotImplementedError(
-                "MultichipTrainer's fused step does not cover hub "
-                "structures; raise degree_cap or walk on a single device"
-            )
         self._table_sharding = NamedSharding(self.mesh, P(None, MODEL_AXIS))
         self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         self._repl_sharding = NamedSharding(self.mesh, P())
         self.graph = jax.device_put(self.graph, self._repl_sharding)
+        self._use_pallas = jax.default_backend() == "tpu"
         self._step = self._build_step()
+        self._count = self._build_count_fn()
+
+    # -- construction ---------------------------------------------------------
+
+    def _step_fns(self):
+        """Mode-specific (first_fn, step_fn) — same plug points as the
+        single-device engine (``models/modes.py``), hub-aware."""
+        from pecanpy_tpu.models import modes
+
+        if self.mode in ("SparseOTF", "DenseOTF"):
+            return modes._otf_step_fns(self.p, self.q, self.extend)
+        if self.mode == "FirstOrderUnweighted":
+            def first_fn(dg, aux, key, cur, cur_rows):
+                return rejection.uniform_propose(dg, key, cur_rows)
+
+            return first_fn, (
+                lambda dg, aux, key, cur, prev, cur_rows, prev_rows:
+                rejection.uniform_propose(dg, key, cur_rows)
+            )
+        if self.mode == "PreCompFirstOrder":
+            def first_fn(dg, aux, key, cur, cur_rows):
+                x, _ = rejection.propose(dg, key, cur_rows, use_cdf=True)
+                return x
+
+            return first_fn, (
+                lambda dg, aux, key, cur, prev, cur_rows, prev_rows:
+                first_fn(dg, aux, key, cur, cur_rows)
+            )
+        raise ValueError(
+            f"mode {self.mode!r} has no multichip trainer path "
+            "(PreComp's per-edge tables are not replicable at scale; "
+            "use SparseOTF)"
+        )
+
+    def _walk(self, graph, starts, key):
+        first_fn, step_fn = self._step_fns()
+        return engine.generate_walks(
+            graph,
+            lambda k, cur, rows: first_fn(graph, (), k, cur, rows),
+            lambda k, cur, prev, cr, pr: step_fn(
+                graph, (), k, cur, prev, cr, pr
+            ),
+            starts,
+            key,
+            self.walk_length,
+        )
+
+    def _build_step(self) -> Callable:
+        body = sgns.make_step_body(
+            self.graph.num_nodes,
+            self.config,
+            use_pallas=self._use_pallas,
+            model_axis=MODEL_AXIS,
+            data_axis=DATA_AXIS,
+        )
+
+        def fused_step(graph, w_in, w_out, starts, keep_prob, neg_table,
+                       lr, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            k_walk, k_sgns = jax.random.split(key)
+            walks, eff = self._walk(graph, starts, k_walk)
+            return body(
+                w_in, w_out, walks, eff, keep_prob, neg_table, lr, k_sgns
+            )
+
+        mapped = jax.shard_map(
+            fused_step,
+            mesh=self.mesh,
+            in_specs=(
+                P(),  # graph pytree: replicated
+                P(None, MODEL_AXIS),
+                P(None, MODEL_AXIS),
+                P(DATA_AXIS),
+                P(),
+                P(),
+                P(),
+                P(),
+            ),
+            out_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
+            check_vma=False,
+        )
+        return jax.jit(mapped, donate_argnums=(1, 2))
+
+    def _build_count_fn(self) -> Callable:
+        """Sharded walk + token-count pass (the vocab scan of the
+        streaming pipeline; gensim's equivalent is its vocabulary
+        build)."""
+        n = self.graph.num_nodes
+
+        def count(graph, starts, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            k_walk, _ = jax.random.split(key)
+            walks, eff = self._walk(graph, starts, k_walk)
+            valid = jnp.arange(walks.shape[1]) < eff[:, None]
+            c = (
+                jnp.zeros(n, dtype=jnp.float32)
+                .at[walks.reshape(-1)]
+                .add(valid.reshape(-1).astype(jnp.float32))
+            )
+            return jax.lax.psum(c, DATA_AXIS)
+
+        mapped = jax.shard_map(
+            count,
+            mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    # -- state ----------------------------------------------------------------
 
     def init_params(self, key: jax.Array):
-        """Sharded (w_in, w_out) tables."""
+        """Sharded (w_in, w_out) tables (dims split over ``model``)."""
         n, d = self.graph.num_nodes, self.config.dim
         bound = 0.5 / d
-        w_in = jax.random.uniform(key, (n, d), minval=-bound, maxval=bound)
-        w_out = jnp.zeros((n, d), dtype=jnp.float32)
+        dtype = jnp.dtype(self.config.table_dtype)
+        w_in = jax.random.uniform(
+            key, (n, d), minval=-bound, maxval=bound
+        ).astype(dtype)
+        w_out = jnp.zeros((n, d), dtype=dtype)
         return (
             jax.device_put(w_in, self._table_sharding),
             jax.device_put(w_out, self._table_sharding),
         )
 
     def shard_batch(self, starts):
+        n_shards = self.mesh.shape[DATA_AXIS]
+        starts = np.asarray(starts, dtype=np.int32)
+        pad = (-starts.size) % n_shards
+        if pad:  # dead-pad with node 0; walks from pads are never consumed
+            starts = np.pad(starts, (0, pad))
         return jax.device_put(jnp.asarray(starts), self._batch_sharding)
 
-    def _build_step(self) -> Callable:
-        p, q = self.p, self.q
-        kernel = (
-            transition.node2vec_plus_weights_rows
-            if self.extend
-            else transition.node2vec_weights_rows
-        )
-        walk_length = self.walk_length
-        sgns_body = sgns.make_step_body(self.graph.num_nodes, self.config)
+    # -- stepping -------------------------------------------------------------
 
-        def fused_step(graph, w_in, w_out, starts, keep_prob, neg_table, lr, key):
-            k_walk, k_sgns = jax.random.split(key)
-
-            def first_fn(k, cur, cur_rows):
-                w = transition.first_order_weights_rows(graph, cur_rows)
-                c = sampling.categorical_rows(k, w)
-                return sampling.pick_int_columns(graph.rows_nbr(cur_rows), c)
-
-            def step_fn(k, cur, prev, cur_rows, prev_rows):
-                w = kernel(graph, cur_rows, prev_rows, prev, p, q)
-                c = sampling.categorical_rows(k, w)
-                return sampling.pick_int_columns(graph.rows_nbr(cur_rows), c)
-
-            walks, eff = engine.generate_walks(
-                graph, first_fn, step_fn, starts, k_walk, walk_length
-            )
-            w_in, w_out = sgns_body(
-                w_in, w_out, walks, eff, keep_prob, neg_table, lr, k_sgns
-            )
-            return w_in, w_out
-
-        return jax.jit(
-            fused_step,
-            in_shardings=(
-                self._repl_sharding,  # graph (pytree: leaves replicated)
-                self._table_sharding,
-                self._table_sharding,
-                self._batch_sharding,
-                self._repl_sharding,
-                self._repl_sharding,
-                None,
-                None,
-            ),
-            out_shardings=(self._table_sharding, self._table_sharding),
-            donate_argnums=(1, 2),
-        )
+    def count_tokens(self, starts, key) -> jax.Array:
+        """[N] token counts of the walks this batch of starts generates."""
+        return self._count(self.graph, self.shard_batch(starts), key)
 
     def step(self, w_in, w_out, starts, keep_prob, neg_table, lr, key):
         """One fused walk + SGNS update step.
@@ -121,3 +208,119 @@ class MultichipTrainer:
             self.graph, w_in, w_out, starts, keep_prob, neg_table,
             jnp.float32(lr), key,
         )
+
+
+def train_streaming_multichip(
+    trainer: MultichipTrainer,
+    starts: np.ndarray,
+    epochs: int = 1,
+    seed: int = 0,
+    verbose: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 50,
+    batch: Optional[int] = None,
+) -> np.ndarray:
+    """Two-pass streaming pipeline on a mesh: vocab scan, then fused
+    walk+train steps. Multi-device counterpart of
+    ``sgns.train_streaming`` (walks regenerated, never stored).
+
+    Args:
+        trainer: the compiled mesh program holder.
+        starts: full start-node schedule (every node x num_walks,
+            pre-shuffled — ``Base._start_nodes``).
+        batch: walkers per fused step (global, across shards); default
+            128 walks per data shard, capped by the schedule size.
+
+    Returns:
+        [N, dim] float32 embeddings (gathered to host).
+    """
+    import time as _time
+
+    n = trainer.graph.num_nodes
+    config = trainer.config
+    n_shards = trainer.mesh.shape[DATA_AXIS]
+    if batch is None:
+        batch = min(
+            max(n_shards * 128, 1024), max(starts.size, n_shards)
+        )
+    batch += (-batch) % n_shards
+    key = jax.random.PRNGKey(seed)
+    k_init, k_train = jax.random.split(key)
+
+    batches = [
+        starts[lo : lo + batch] for lo in range(0, starts.size, batch)
+    ]
+
+    # pass 1: vocabulary statistics over the identical walk stream
+    counts = jnp.zeros(n, dtype=jnp.float32)
+    for i, part in enumerate(batches):
+        counts = counts + trainer.count_tokens(
+            part, jax.random.fold_in(k_train, i)
+        )
+    counts_np = np.asarray(counts)
+    keep_prob = jax.device_put(
+        sgns._keep_probs(counts, config.sample), trainer._repl_sharding
+    )
+    neg_table = jax.device_put(
+        jnp.asarray(sgns.build_negative_table(counts_np, seed=seed)),
+        trainer._repl_sharding,
+    )
+    total_tokens = float(counts_np.sum()) * epochs
+
+    w_in, w_out = trainer.init_params(k_init)
+
+    ckpt = None
+    resume_step = 0
+    if checkpoint_dir is not None:
+        from pecanpy_tpu.utils.checkpoint import (
+            SGNSCheckpointer,
+            checkpointing_available,
+        )
+
+        if checkpointing_available():
+            ckpt = SGNSCheckpointer(checkpoint_dir)
+            if ckpt.latest_step() is not None:
+                w_in_np, w_out_np, meta = ckpt.restore()
+                dtype = jnp.dtype(config.table_dtype)
+                w_in = jax.device_put(
+                    jnp.asarray(w_in_np).astype(dtype),
+                    trainer._table_sharding,
+                )
+                w_out = jax.device_put(
+                    jnp.asarray(w_out_np).astype(dtype),
+                    trainer._table_sharding,
+                )
+                resume_step = int(meta["next_step"])
+
+    # lr schedule pinned to expected tokens per batch (walk regeneration
+    # per step makes exact per-batch counts a second sweep; the linear
+    # decay only needs monotone progress)
+    tokens_per_batch = total_tokens / max(len(batches) * epochs, 1)
+
+    step_idx = 0
+    done_tokens = 0.0
+    t0 = _time.perf_counter()
+    for epoch in range(epochs):
+        for part in batches:
+            if step_idx < resume_step:
+                done_tokens += tokens_per_batch
+                step_idx += 1
+                continue
+            lr = max(
+                config.min_alpha,
+                config.alpha
+                - (config.alpha - config.min_alpha)
+                * (done_tokens / max(total_tokens, 1.0)),
+            )
+            w_in, w_out = trainer.step(
+                w_in, w_out, trainer.shard_batch(part), keep_prob,
+                neg_table, lr, jax.random.fold_in(k_train, step_idx),
+            )
+            done_tokens += tokens_per_batch
+            step_idx += 1
+            sgns._progress(verbose, t0, done_tokens, total_tokens)
+            if ckpt is not None and step_idx % checkpoint_every == 0:
+                ckpt.save(step_idx, w_in, w_out, {"next_step": step_idx})
+    if ckpt is not None:
+        ckpt.close()
+    return np.asarray(w_in.astype(jnp.float32))

@@ -65,12 +65,51 @@ def test_sharded_second_order_distribution(mesh8, rng):
     assert checked >= 3, "not enough high-count transitions to test"
 
 
-def test_shard_graph_rejects_hubs(mesh8, rng):
-    adj = oracle.random_graph(rng, 14, mean_degree=8.0)
+def test_sharded_hub_walks_follow_edges(mesh8, rng):
+    """Hub tables row-sharded: rejection fetches ride the collective."""
+    adj = oracle.random_graph(rng, 14, mean_degree=8.0, weighted=True)
     graph = device_csr_from_dense(adj, degree_cap=6)
     assert graph.has_hubs
-    with pytest.raises(NotImplementedError):
-        shard_graph(graph, mesh8)
+    sharded, meta = shard_graph(graph, mesh8)
+    assert meta.ep_rows > 0 and meta.hb_rows > 0
+    starts = np.tile(np.arange(14, dtype=np.int32), 8)
+    walks, eff = simulate_walks_distributed(
+        graph, mesh8, starts, walk_length=5, p=0.5, q=2.0, seed=5
+    )
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    for row, n in zip(walks, eff):
+        for a, b in zip(row[: n - 1], row[1:n]):
+            assert adj[a, b] != 0, f"non-edge {a}->{b}"
+
+
+def test_sharded_hub_second_order_distribution(mesh8, rng):
+    """Forced-cap 2nd-order law through the collective rejection path."""
+    adj = oracle.random_graph(rng, 8, mean_degree=5.0, weighted=True)
+    graph = device_csr_from_dense(adj, degree_cap=4)
+    assert graph.has_hubs
+    p, q = 0.5, 2.0
+    starts = np.tile(np.arange(8, dtype=np.int32), 500)
+    walks, eff = simulate_walks_distributed(
+        graph, mesh8, starts, walk_length=4, p=p, q=q, seed=11
+    )
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    counts = {}
+    for row, m in zip(walks, eff):
+        for j in range(2, m):
+            counts.setdefault((row[j - 2], row[j - 1]), []).append(row[j])
+    checked = 0
+    for (prev, cur), nxts in counts.items():
+        if len(nxts) < 400:
+            continue
+        nbrs = np.nonzero(adj[cur])[0]
+        expected = oracle.node2vec_probs(adj, cur, prev, p, q)
+        freq = np.array([(np.array(nxts) == nb).mean() for nb in nbrs])
+        np.testing.assert_allclose(
+            freq, expected, atol=4.5 * np.sqrt(0.25 / len(nxts)),
+            err_msg=f"cur={cur} prev={prev} n={len(nxts)}",
+        )
+        checked += 1
+    assert checked >= 3, "not enough high-count transitions to test"
 
 
 def test_first_order_unweighted_sharded(mesh8, rng):

@@ -196,7 +196,7 @@ def test_no_hubs_static_path(rng):
     adj = oracle.random_graph(rng, 10, mean_degree=3.0)
     g = device_csr_from_dense(adj, degree_cap=128)
     assert not g.has_hubs
-    assert g.edge_pack.size == 0 and g.hkey8.size == 0
+    assert g.edge_pack.size == 0 and g.hbuckets.size == 0
 
 
 def test_bucket_hash_contains_every_key(rng):

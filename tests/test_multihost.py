@@ -1,0 +1,101 @@
+"""Multi-process SPMD walking: 2 real worker processes over CPU.
+
+Spawns two subprocess workers that form a ``jax.distributed`` cluster
+(2 processes x 2 virtual CPU devices = a 4-device global mesh), run the
+edge-partitioned collective walk program — whose all_gather/psum
+exchanges now cross PROCESS boundaries — and each validate their local
+walk shards edge-by-edge. This is the test topology SURVEY §4 calls out
+as missing from the reference (which is single-host only).
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from pecanpy_tpu.parallel import multihost
+multihost.initialize(f"localhost:{port}", num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc
+assert len(jax.devices()) == 2 * nproc, len(jax.devices())
+
+import numpy as np
+from pecanpy_tpu.ops.layout import device_csr_from_dense
+from pecanpy_tpu.parallel.distgraph import simulate_walks_distributed
+
+rng = np.random.default_rng(0)  # identical graph on every process
+n = 16
+prob = 4.0 / n
+mask = rng.random((n, n)) < prob
+np.fill_diagonal(mask, False)
+upper = np.triu(np.where(mask, rng.uniform(0.5, 2.0, (n, n)), 0.0))
+adj = upper + upper.T
+for i in range(n - 1):
+    if adj[i].sum() == 0:
+        adj[i, i + 1] = adj[i + 1, i] = 1.0
+if adj[n - 1].sum() == 0:
+    adj[n - 1, 0] = adj[0, n - 1] = 1.0
+
+for cap in (128, 5):  # fused-only and hub/rejection collective paths
+    graph = device_csr_from_dense(adj, degree_cap=cap)
+    mesh = multihost.global_mesh()
+    starts = np.tile(np.arange(n, dtype=np.int32), 8)
+    walks, eff = simulate_walks_distributed(
+        graph, mesh, starts, walk_length=5, p=0.5, q=2.0, seed=7
+    )
+    my_walks = multihost.local_array(walks)
+    my_eff = multihost.local_array(eff)
+    assert my_walks.shape[0] == starts.size // nproc
+    for row, m in zip(my_walks, my_eff):
+        for a, b in zip(row[: m - 1], row[1:m]):
+            assert adj[a, b] != 0, f"proc {pid}: non-edge {a}->{b}"
+    print(f"proc {pid} cap={cap}: ok ({my_walks.shape[0]} walks)", flush=True)
+print(f"proc {pid}: PASS", flush=True)
+"""
+
+
+def test_two_process_collective_walks(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # repo only: a site dir carrying a TPU plugin would initialize the
+    # backend at import, which jax.distributed.initialize forbids
+    env["PYTHONPATH"] = repo
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"proc {i}: PASS" in out, out

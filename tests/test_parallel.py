@@ -85,3 +85,71 @@ def test_sharded_walks_match_semantics(eight_devices, rng):
     for row, n in zip(walks, eff):
         for a, b in zip(row[: n - 1], row[1:n]):
             assert adj[a, b] != 0
+
+
+def test_multichip_hub_graph_step(eight_devices, rng):
+    """Hub-marker graphs train on the mesh via the rejection path."""
+    adj = oracle.random_graph(rng, 24, mean_degree=8.0, weighted=True)
+    graph = device_csr_from_dense(adj, degree_cap=4)
+    assert graph.has_hubs
+    m = mesh_lib.make_mesh(8, model_parallel=2)
+    config = SGNSConfig(dim=16, window=3, negative=2, seed=0)
+    trainer = MultichipTrainer(
+        mesh=m, graph=graph, config=config, walk_length=6, p=0.5, q=2.0
+    )
+    key = jax.random.PRNGKey(0)
+    w_in, w_out = trainer.init_params(key)
+    starts = trainer.shard_batch(np.arange(24, dtype=np.int32).repeat(2))
+    w_in, w_out = trainer.step(
+        w_in, w_out, starts, jnp.ones(24), jnp.arange(24, dtype=jnp.int32),
+        0.025, key,
+    )
+    assert np.isfinite(np.asarray(w_in)).all()
+    assert float(jnp.abs(np.asarray(w_out)).sum()) > 0.0
+
+
+def test_multichip_count_tokens(eight_devices, rng):
+    adj = oracle.random_graph(rng, 16, mean_degree=4.0)
+    graph = device_csr_from_dense(adj)
+    m = mesh_lib.make_mesh(8)
+    config = SGNSConfig(dim=8, window=2, negative=2, seed=0)
+    trainer = MultichipTrainer(
+        mesh=m, graph=graph, config=config, walk_length=5
+    )
+    starts = np.tile(np.arange(16, dtype=np.int32), 4)
+    counts = np.asarray(
+        trainer.count_tokens(starts, jax.random.PRNGKey(0))
+    )
+    # every walk contributes between 1 and walk_length+1 tokens
+    assert counts.sum() >= starts.size
+    assert counts.sum() <= starts.size * 6
+
+
+def test_multichip_embed_end_to_end(eight_devices, rng):
+    from pecanpy_tpu import pecanpy
+
+    adj = oracle.random_graph(rng, 20, mean_degree=5.0, weighted=True)
+    ids = [str(i) for i in range(20)]
+    g = pecanpy.SparseOTF.from_mat(adj, ids, p=0.5, q=2.0, random_state=3)
+    emb = g.embed(
+        dim=16, num_walks=4, walk_length=8, window_size=3,
+        n_devices=8, model_parallel=2,
+    )
+    assert emb.shape == (20, 16)
+    assert np.isfinite(emb).all()
+    assert emb.std() > 0.0
+
+
+def test_multichip_cli_devices(eight_devices, tmp_path, karate_edg):
+    from pecanpy_tpu import cli
+
+    out = tmp_path / "k.emb.npz"
+    cli.main([
+        "--input", karate_edg, "--output", str(out),
+        "--dimensions", "8", "--walk-length", "5", "--num-walks", "2",
+        "--window-size", "3", "--random_state", "0",
+        "--devices", "8", "--model-parallel", "2",
+    ])
+    z = np.load(out)
+    assert z["data"].shape == (34, 8)
+    assert np.isfinite(z["data"]).all()
