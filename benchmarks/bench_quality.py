@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Downstream quality at BlogCatalog scale, REAL protocol.
+
+Builds an overlapping-community SBM with BlogCatalog's shape (10,312
+nodes, 39 labels, ~334k edges; nodes carry 1-3 labels), embeds with the
+default node2vec pipeline, and scores with the published protocol:
+multi-label one-vs-rest logistic regression, top-k prediction, micro-F1
+(node2vec paper §4.3). Also reports the random-embedding floor so the
+number is interpretable.
+
+Run: python benchmarks/bench_quality.py [n_nodes]
+"""
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, ".")
+    from pecanpy_tpu import pecanpy
+    from pecanpy_tpu.graph import SparseGraph
+    from pecanpy_tpu.utils import evaluate
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_312
+    c = 39
+    t0 = time.perf_counter()
+    indptr, indices, data, labels = evaluate.overlapping_sbm(
+        n=n, n_communities=c, mean_degree=64.0, seed=1
+    )
+    print(
+        f"graph: {n} nodes, {int(indptr[-1])} directed edges, {c} labels, "
+        f"avg {labels.sum(1).mean():.2f} labels/node "
+        f"({time.perf_counter() - t0:.1f}s)",
+        file=sys.stderr,
+    )
+
+    g = pecanpy.SparseOTF(random_state=0)
+    SparseGraph.__init__(g)
+    g.indptr = indptr.astype(np.uint32)
+    g.indices = indices.astype(np.uint32)
+    g.data = data
+    g.set_node_ids([str(i) for i in range(n)])
+
+    t0 = time.perf_counter()
+    emb = g.embed(dim=128, num_walks=10, walk_length=80, window_size=10)
+    t_embed = time.perf_counter() - t0
+    print(f"embed: {t_embed:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    f1 = evaluate.multilabel_node_classification(
+        emb, labels, train_fraction=0.5, seed=0
+    )
+    rng = np.random.default_rng(9)
+    f1_rand = evaluate.multilabel_node_classification(
+        rng.standard_normal(emb.shape).astype(np.float32), labels,
+        train_fraction=0.5, seed=0,
+    )
+    print(
+        f"micro-F1 (OvR logistic, top-k): {f1:.4f} "
+        f"(random-embedding floor {f1_rand:.4f}; "
+        f"eval {time.perf_counter() - t0:.1f}s)",
+        file=sys.stderr,
+    )
+    print(
+        f'{{"metric": "multilabel_micro_f1", "value": {f1:.4f}, '
+        f'"unit": "micro-F1", "floor": {f1_rand:.4f}, '
+        f'"embed_seconds": {t_embed:.1f}}}'
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -164,35 +164,45 @@ class PreComp(_SparseModeBase):
     """Precompute 2nd-order transition tables for every (cur, prev) edge.
 
     Reference: ``pecanpy.py:364-507`` — one alias table per directed edge
-    (cur, prev-neighbor), total Sigma deg(i)^2 entries. Device layout here
-    is a [E, dpad] CDF table (one row per directed edge, addressed by flat
-    edge id = indptr[cur] + position of prev in cur's row, as in
-    ``pecanpy.py:426-436``); a walk step is one edge-row gather + a
-    compare-reduce. The same Sigma deg^2-order memory blow-up on hub-heavy
-    graphs applies — the mode-selection heuristics (``cli.py:226-254``)
-    carry over unchanged.
+    (cur, prev-neighbor), total Sigma deg(i)^2 entries, addressed by flat
+    edge id = indptr[cur] + position of prev in cur's row
+    (``pecanpy.py:426-436``).
+
+    Device layout: a [E, PRECOMP_WIDTH(=64)] CDF table holding the full
+    precomputed transition CDF for every edge whose source degree fits
+    the row — a walk step there is one edge-row gather + compare-reduce.
+    Edges of wider nodes fall back to the on-the-fly kernel on the
+    carried fused rows (pure VPU, no extra memory access) — the same
+    transition law, computed instead of looked up. This replaces the
+    round-1 [E, dpad] layout whose per-edge rows padded to the global
+    max degree (the reference's ragged Sigma deg^2 concern): memory is
+    now a flat E x 64 regardless of degree skew, and the viability guard
+    is E < 2^31 / 64 edges. The mode-selection heuristics
+    (``cli.py:226-254``) carry over unchanged.
 
     First step (no prev) samples the node's 1st-order CDF channel
     (``pecanpy.py:412-424``).
     """
 
     _needs_cdf_channel = True
+    PRECOMP_WIDTH = 64
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        # per-edge tables are Sigma deg^2 anyway — capping buys nothing,
-        # and the edge-id addressing needs full-width fused rows
+        # edge-id addressing (indptr[cur] + position) needs full-width
+        # fused rows; wide nodes use the OTF fallback instead of hubs
         self.degree_cap = None
         self.edge_cdf = None
 
     def preprocess_transition_probs(self):
         dg = self.get_device_graph()
-        if int(dg.indptr[-1]) * dg.dpad >= 2**31:
+        w = min(self.PRECOMP_WIDTH, dg.dpad)
+        if int(dg.indptr[-1]) * w >= 2**31:
             raise ValueError(
-                "PreComp's per-edge tables need E * dpad < 2^31 "
-                f"(got E={int(dg.indptr[-1])}, dpad={dg.dpad}); use "
-                "SparseOTF for graphs of this size (the reference's "
-                "mode-selection heuristics give the same advice)."
+                f"PreComp's per-edge tables need E * {w} < 2^31 "
+                f"(got E={int(dg.indptr[-1])}); use SparseOTF for graphs "
+                "of this size (the reference's mode-selection heuristics "
+                "give the same advice)."
             )
         kernel = _pick_kernel(self.extend)
         p, q = self.p, self.q
@@ -209,7 +219,10 @@ class PreComp(_SparseModeBase):
             weights = kernel(dg, cur_rows, prev_rows, edge_prev, p, q)
             cdf = jnp.cumsum(weights, axis=-1)
             total = jnp.maximum(cdf[:, -1:], 1e-30)
-            return jnp.minimum(cdf / total, 1.0)
+            # rows of nodes with deg <= w carry their complete CDF in the
+            # first w slots (padding saturates at 1.0); wider rows are
+            # never read (OTF fallback)
+            return jnp.minimum(cdf / total, 1.0)[:, :w]
 
         self.edge_cdf = build(dg, edge_cur, flat_pos)
 
@@ -217,18 +230,30 @@ class PreComp(_SparseModeBase):
         return (self.edge_cdf,)
 
     def make_step_fns(self):
+        kernel = _pick_kernel(self.extend)
+        p, q = self.p, self.q
+
         def first_fn(dg, aux, key, cur, cur_rows):
             choice = sampling.sample_from_cdf(key, dg.rows_cdf(cur_rows))
             return sampling.pick_int_columns(dg.rows_nbr(cur_rows), choice)
 
         def step_fn(dg, aux, key, cur, prev, cur_rows, prev_rows):
             (edge_cdf,) = aux
+            w = edge_cdf.shape[1]
             cur_nbr = dg.rows_nbr(cur_rows)
             pos = transition.row_searchsorted(cur_nbr, prev[:, None])[:, 0]
             pos = jnp.minimum(pos, cur_nbr.shape[1] - 1).astype(jnp.int32)
             edge_row = dg.indptr[cur] + pos
-            cdf = edge_cdf[edge_row]  # [B, dpad] edge-table gather
+            cdf = edge_cdf[edge_row]  # [B, w] edge-table gather
             choice = sampling.sample_from_cdf(key, cdf)
+            if w >= dg.dpad:
+                return sampling.pick_int_columns(cur_nbr, choice)
+            # wide-degree fallback: same law, computed on the fly from
+            # the carried rows (no extra gather)
+            weights = kernel(dg, cur_rows, prev_rows, prev, p, q)
+            choice_otf = sampling.categorical_rows(key, weights)
+            deg = transition.row_degrees(dg, cur_rows)
+            choice = jnp.where(deg > w, choice_otf, choice)
             return sampling.pick_int_columns(cur_nbr, choice)
 
         return first_fn, step_fn

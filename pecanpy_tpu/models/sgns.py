@@ -47,7 +47,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pecanpy_tpu.ops.apply import apply_mean_updates, apply_mean_updates_two
+from pecanpy_tpu.ops.apply import (
+    apply_mean_updates,
+    apply_mean_updates_same_ids,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +71,13 @@ class SGNSConfig:
     sample: float = 1e-3
     batch_walks: Optional[int] = None
     update_cap: float = 4.0
+    # per-step negative pool: the chunk's negative draws come from a pool
+    # of this many iid unigram^0.75 samples (deterministic stride
+    # assignment), so their table updates pre-aggregate per pool slot
+    # with a reshape-sum — the applier's stream shrinks ~15x at default
+    # shapes while every pair still sees an exactly unigram-distributed
+    # negative. 0 disables (direct per-token draws).
+    neg_pool: int = 32768
     # "float32" or "bfloat16"; bf16 halves table memory and traffic and
     # relies on stochastic-rounding updates (TPU Pallas path)
     table_dtype: str = "float32"
@@ -193,11 +203,29 @@ def make_step_body(
         v = w_in[comp].astype(jnp.float32)  # [Wb, T, dim]
         uo = w_out[comp].astype(jnp.float32)
 
-        # 4. Per-token negatives from the shuffled unigram^0.75 table.
-        slots = jax.random.randint(
-            key_neg, (wb, t, k_neg), 0, neg_table.shape[0]
-        )
-        negs = neg_table[slots]  # [Wb, T, K]
+        # 4. Per-token negatives from the shuffled unigram^0.75 table —
+        #    via a per-step pool when the chunk is large enough: pool[j]
+        #    are iid unigram draws, and (token, slot) s takes
+        #    pool[(s + off) % M]. Marginally each negative is exactly
+        #    unigram^0.75; the payoff is that the pool index is a pure
+        #    function of s, so the per-slot update aggregation below is a
+        #    reshape-sum instead of a sort.
+        r_neg = wb * t * k_neg
+        m_pool = config.neg_pool
+        use_pool = bool(m_pool) and r_neg > m_pool
+        if use_pool:
+            k_pool, k_off = jax.random.split(key_neg)
+            pool = neg_table[
+                jax.random.randint(k_pool, (m_pool,), 0, neg_table.shape[0])
+            ]  # [M]
+            off = jax.random.randint(k_off, (), 0, m_pool)
+            flat = jnp.arange(r_neg, dtype=jnp.int32)
+            negs = pool[(flat + off) % m_pool].reshape(wb, t, k_neg)
+        else:
+            slots = jax.random.randint(
+                key_neg, (wb, t, k_neg), 0, neg_table.shape[0]
+            )
+            negs = neg_table[slots]  # [Wb, T, K]
         u_neg = w_out[negs].astype(jnp.float32)  # [Wb, T, K, dim]
         neg_logits = jnp.einsum("btd,btkd->btk", v, u_neg)
         if model_axis is not None:  # partial dots over the dim shards
@@ -254,9 +282,23 @@ def make_step_body(
         cnt_v_flat = cnt_v.reshape(-1)
         du_flat = du.reshape(-1, dim)
         cnt_u_flat = cnt_u.reshape(-1)
-        negs_flat = negs.reshape(-1)
-        du_neg_flat = du_neg.reshape(-1, dim)
-        c_v_flat = c_v.reshape(-1)
+        if use_pool:
+            # pre-aggregate the negative updates per pool slot: residue
+            # r collects every draw s with s % M == r, then a roll maps
+            # residues to slots ((s + off) % M). Sums and counts per
+            # table row reach the applier unchanged — only grouped.
+            pad_r = (-r_neg) % m_pool
+            dn = jnp.pad(du_neg.reshape(r_neg, dim), ((0, pad_r), (0, 0)))
+            cv = jnp.pad(c_v.reshape(r_neg), (0, pad_r))
+            by_res = jnp.sum(dn.reshape(-1, m_pool, dim), axis=0)
+            cnt_res = jnp.sum(cv.reshape(-1, m_pool), axis=0)
+            negs_flat = pool
+            du_neg_flat = jnp.roll(by_res, off, axis=0)
+            c_v_flat = jnp.roll(cnt_res, off)
+        else:
+            negs_flat = negs.reshape(-1)
+            du_neg_flat = du_neg.reshape(-1, dim)
+            c_v_flat = c_v.reshape(-1)
         if data_axis is not None:
             # every data shard applies the identical full update stream
             # to its table slice (tables are data-replicated)
@@ -268,34 +310,35 @@ def make_step_body(
             negs_flat, du_neg_flat, c_v_flat = map(
                 ag, (negs_flat, du_neg_flat, c_v_flat)
             )
-        w_in = apply_mean_updates(
+        # the context gradients hit W_in and the center gradients hit
+        # W_out with the IDENTICAL token-id stream: one shared argsort
+        w_in, w_out = apply_mean_updates_same_ids(
             w_in,
+            w_out,
             ids_tok,
             dv_flat,
             cnt_v_flat,
-            lr,
-            use_pallas=use_pallas,
-            cap=cap,
-            rng_seed=rng_seed,
-        )
-        # center and negative contributions are separate normalization
-        # groups (as in per-role sequential SGD): folding them into one
-        # mean lets the 5x more numerous negative pushes dominate every
-        # W_out row and the embedding space collapses to one direction.
-        # Both groups apply in ONE table pass (half the w_out traffic).
-        w_out = apply_mean_updates_two(
-            w_out,
-            ids_tok,
             du_flat,
             cnt_u_flat,
+            lr,
+            use_pallas=use_pallas,
+            cap_a=cap,
+            cap_b=cap,
+            rng_seed=rng_seed,
+        )
+        # negative contributions are a separate normalization group (as
+        # in per-role sequential SGD): folding them into the center mean
+        # would let the 5x more numerous negative pushes dominate every
+        # W_out row and the embedding space collapses to one direction
+        w_out = apply_mean_updates(
+            w_out,
             negs_flat,
             du_neg_flat,
             c_v_flat,
             lr,
             use_pallas=use_pallas,
-            cap_a=cap,
-            cap_b=cap,
-            rng_seed=rng_seed + 1,
+            cap=cap,
+            rng_seed=rng_seed + 2,
         )
         return w_in, w_out
 

@@ -1,36 +1,46 @@
 """Sparse-row update application without XLA scatter.
 
-The SGNS update is "W[i] -= lr * mean of the gradient rows with id i" for
-~1e5 (id, grad) pairs per step against a [N, dim] table. XLA's
-scatter-add on TPU is catastrophically slow for this shape (measured
-~1.7 s for 65k rows into [1M, 128] — cost scales with the TABLE, ~500x a
-plain copy), so the hot path is a Pallas kernel instead:
+The SGNS update is "W[i] -= lr * capped-mean of the gradient rows with
+id i" for ~1e5-1e6 (id, grad) pairs per step against a [N, dim] table.
+XLA's scatter-add on TPU is catastrophically slow for this shape
+(measured ~1.7 s for 65k rows into [1M, 128] — cost scales with the
+TABLE, ~500x a plain copy), so the hot path is a Pallas kernel:
 
 1. sort the updates by destination row (one argsort of [R] int32 + one
-   fast-path row gather to permute the payload);
-2. stream the table through VMEM in tiles of TILE rows; each grid step
-   DMAs its slice of the sorted updates (per-tile bounds precomputed with
-   one tiny searchsorted), accumulates sums/counts into VMEM scratch with
-   a scalar loop, and writes back ``tile - lr * sums / max(counts, eps)``.
+   row gather to permute the payload — both ~4 ms at R=500k);
+2. build a VISIT LIST: the (table tile, update chunk) pairs that
+   intersect, tile-major (host-side jnp over ~R/CHUNK + N/TILE entries).
+   Only tiles that actually receive updates appear — untouched tiles are
+   never read or written (the output aliases the input buffer);
+3. one grid step per visit: Pallas pipelines the chunk/tile blocks via
+   data-dependent BlockSpec index maps read from scalar prefetch (the
+   v5e guide's "revisiting blocks" pattern — consecutive visits of one
+   tile keep it resident in VMEM), and each visit folds its 1024-row
+   chunk into the tile's per-row sums with a ONE-HOT MATMUL on the MXU:
+   ``onehot[TILE, CHUNK] @ upd[CHUNK, D]`` — the one-hot column of an
+   update row selects its destination row; rows outside the tile give
+   all-zero columns, which also makes cross-tile chunk sharing and
+   padding masking free. The last visit of a tile applies
+   ``tile - lr * sums * min(cnt, cap)/cnt`` and resets the scratch.
 
-Total traffic = one table read + write + one pass over the updates —
-streaming-rate instead of scatter's element-serial path.
+Design history (v5e, 500k rows into [1M, 128]): a per-entry scalar
+accumulation loop ran at ~90 cycles/row (58.5 ms); switching the fold to
+one-hot matmuls barely helped (45.9 ms) because the real cost was the
+per-tile machinery — manually sequenced DMAs and visiting all N/TILE
+tiles. The visit-list pipeline removes both.
 
-TPU alignment notes: HBM DMA slices must be 128-lane multiples, so the
-int32 ids and f32 counts travel as [R/128, 128] blocks and chunk starts
-are 128-aligned (entries outside the tile's [lo, hi) range are masked in
-the scalar loop); the count accumulator is a full dim-wide row per table
-row (every lane equal) to keep all scratch traffic aligned.
-
-The pure-XLA fallback (``_apply_scatter``) is used on CPU (where scatter
-is fine).
+The one-hot dots run in bf16 by default (4x MXU rate): the one-hot
+matrix and the counts are exact in bf16; the payload quantizes to ~3
+decimal digits — far below SGD gradient noise (downstream micro-F1
+benches pin quality). Set ``DOT_BF16 = False`` for f32 accumulation.
 
 bfloat16 tables: the kernel streams bf16 tiles, accumulates in f32, and
 writes back with **stochastic rounding** (pltpu.prng_random_bits +
 stochastic_round) — at lr ~1e-3 the per-step row movement is below the
 bf16 ulp of typical weights, so round-to-nearest would silently drop
 most updates; stochastic rounding keeps SGD unbiased. The CPU fallback
-rounds to nearest (documented quality caveat; bf16 is a TPU option).
+(``_apply_scatter``) rounds to nearest (documented quality caveat; bf16
+is a TPU option).
 """
 import functools
 
@@ -39,13 +49,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 2048  # table rows per grid step (VMEM-budget bound)
-CHUNK = 1024  # update rows per DMA (1-D HBM arrays are (1024,)-tiled)
+TILE = 1024  # table rows per tile (VMEM budget + one-hot dot height)
+CHUNK = 1024  # update rows per chunk (one-hot dot contraction depth)
 _LANE = 128
 _EPS = 1e-9
 
+# Run the one-hot scatter dots in bf16 (see module docstring).
+DOT_BF16 = True
 
 DEFAULT_UPDATE_CAP = 4.0  # max "pair-steps" a row absorbs per application
+
+# visit-flag bits (scalar-prefetch per grid step)
+_F_FIRST = 1  # first visit of this tile: zero the scratch
+_F_LAST = 2  # last visit of this tile: apply the row step, write out
+_F_NOOP = 4  # padding visit: touch nothing
 
 
 def _row_step(sums, cnts, lr, cap):
@@ -70,220 +87,211 @@ def _apply_scatter(table, ids, upd, cnt, lr, cap):
     return out.astype(table.dtype)
 
 
-def _accumulate_stream(
-    i, lo, hi, ids_ref, upd_ref, cnt_ref, sums, cnts, ids_buf, upd_buf,
-    cnt_buf, sems,
-):
-    """Fold the sorted update rows in [lo, hi) into the tile's sums/cnts."""
-    sums[:] = jnp.zeros_like(sums)
-    cnts[:] = jnp.zeros_like(cnts)
-
-    start0 = (lo // CHUNK) * CHUNK  # aligned down; out-of-range masked
-    n_chunks = (hi - start0 + CHUNK - 1) // CHUNK
-
-    def chunk_body(ci, _):
-        start = start0 + ci * CHUNK
-        c1 = pltpu.make_async_copy(
-            ids_ref.at[pl.ds(start, CHUNK)], ids_buf, sems.at[0]
-        )
-        c2 = pltpu.make_async_copy(
-            upd_ref.at[pl.ds(start, CHUNK), :], upd_buf, sems.at[1]
-        )
-        c3 = pltpu.make_async_copy(
-            cnt_ref.at[pl.ds(start, CHUNK)], cnt_buf, sems.at[2]
-        )
-        c1.start()
-        c2.start()
-        c3.start()
-        c1.wait()
-        c2.wait()
-        c3.wait()
-
-        def entry_body(j, _):
-            g = start + j  # global update index
-
-            @pl.when((g >= lo) & (g < hi))
-            def _():
-                local = ids_buf[j] - i * TILE
-                sums[pl.ds(local, 1), :] = sums[pl.ds(local, 1), :] + (
-                    upd_buf[pl.ds(j, 1), :].astype(jnp.float32)
-                )
-                cnts[pl.ds(local, 1), :] = (
-                    cnts[pl.ds(local, 1), :] + cnt_buf[j]
-                )
-
-            return None
-
-        jax.lax.fori_loop(0, CHUNK, entry_body, None)
-        return None
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, None)
-
-
 def _applier_kernel(
-    bounds_ref,  # [n_tiles + 1] scalar-prefetch: update range per tile
+    tiles_ref,  # [V] scalar-prefetch: table tile per visit (drives specs)
+    chunks_ref,  # [V] scalar-prefetch: update chunk per visit
+    flags_ref,  # [V] scalar-prefetch: FIRST/LAST/NOOP bits
     lr_ref,  # [2] scalar-prefetch: (lr, update cap)
     seed_ref,  # [1] int32 scalar-prefetch: stochastic-rounding seed
-    tile_ref,  # [TILE, D] VMEM: current table tile (f32 or bf16)
-    ids_ref,  # [R_pad] int32, HBM (manual DMA)
-    upd_ref,  # [R_pad, D] f32/bf16, HBM
-    cnt_ref,  # [R_pad] f32, HBM
-    out_ref,  # [TILE, D] VMEM
+    tile_ref,  # [TILE, D] VMEM: this visit's table tile
+    ids_ref,  # [1, 8, CHUNK/8] VMEM: this visit's sorted destination rows
+    upd_ref,  # [CHUNK, D] VMEM: this visit's payload rows
+    cnt_ref,  # [1, 8, CHUNK/8] VMEM: this visit's contribution counts
+    out_ref,  # [TILE, D] VMEM (aliases the table buffer)
     sums,  # [TILE, D] f32 VMEM scratch
-    cnts,  # [TILE, d] f32 VMEM scratch (all lanes equal)
-    ids_buf,  # [CHUNK] int32 SMEM scratch (scalar reads)
-    upd_buf,  # [CHUNK, D] VMEM scratch (payload dtype)
-    cnt_buf,  # [CHUNK] f32 SMEM scratch
-    sems,  # DMA semaphores (3,)
+    cnts,  # [TILE, D] f32 VMEM scratch (all lanes equal)
 ):
-    i = pl.program_id(0)
-    _accumulate_stream(
-        i, bounds_ref[i], bounds_ref[i + 1], ids_ref, upd_ref, cnt_ref,
-        sums, cnts, ids_buf, upd_buf, cnt_buf, sems,
-    )
-    new = tile_ref[:].astype(jnp.float32) - _row_step(
-        sums[:], cnts[:], lr_ref[0], lr_ref[1]
-    )
-    if out_ref.dtype == jnp.bfloat16:
-        # lr-scale movements sit below the bf16 ulp of typical weights:
-        # stochastic rounding keeps the SGD updates unbiased
-        pltpu.prng_seed(seed_ref[0] + i)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(new.shape), jnp.uint32)
-        out_ref[:] = pltpu.stochastic_round(
-            new, bits, target_dtype=jnp.bfloat16
+    g = pl.program_id(0)
+    t = tiles_ref[g]
+    flags = flags_ref[g]
+
+    @pl.when((flags & _F_NOOP) == 0)
+    def _():
+        @pl.when((flags & _F_FIRST) != 0)
+        def _():
+            sums[:] = jnp.zeros_like(sums)
+            cnts[:] = jnp.zeros_like(cnts)
+
+        dot_t = jnp.bfloat16 if DOT_BF16 else jnp.float32
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, CHUNK), 0)
+        # row-major relayout back to stream order; out-of-tile -> no row
+        local = ids_ref[:].reshape(1, CHUNK) - t * TILE
+        onehot = (rows_iota == local).astype(dot_t)
+        sums[:] = sums[:] + jax.lax.dot(
+            onehot, upd_ref[:].astype(dot_t),
+            preferred_element_type=jnp.float32,
         )
-    else:
-        out_ref[:] = new
+        # counts ride a second dot; exact: small integers are exact in
+        # bf16 and the MXU accumulates in f32
+        cnt_row = cnt_ref[:].reshape(1, CHUNK).astype(jnp.bfloat16)
+        oc = onehot.astype(jnp.bfloat16) * cnt_row
+        cnts[:] = cnts[:] + jax.lax.dot(
+            oc, jnp.ones((CHUNK, sums.shape[1]), dtype=jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when((flags & _F_LAST) != 0)
+        def _():
+            new = tile_ref[:].astype(jnp.float32) - _row_step(
+                sums[:], cnts[:], lr_ref[0], lr_ref[1]
+            )
+            if out_ref.dtype == jnp.bfloat16:
+                # lr-scale movements sit below the bf16 ulp of typical
+                # weights: stochastic rounding keeps SGD unbiased
+                pltpu.prng_seed(seed_ref[0] + t)
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits(new.shape), jnp.uint32
+                )
+                out_ref[:] = pltpu.stochastic_round(
+                    new, bits, target_dtype=jnp.bfloat16
+                )
+            else:
+                out_ref[:] = new
 
 
-def _applier2_kernel(
-    bounds_a_ref,  # [n_tiles + 1] scalar-prefetch: stream-a range per tile
-    bounds_b_ref,  # [n_tiles + 1] scalar-prefetch: stream-b range per tile
-    lr_ref,  # [3] scalar-prefetch: (lr, cap_a, cap_b)
-    seed_ref,  # [1] int32 scalar-prefetch
-    tile_ref,  # [TILE, D] VMEM
-    ids_a_ref, upd_a_ref, cnt_a_ref,  # stream a (HBM, manual DMA)
-    ids_b_ref, upd_b_ref, cnt_b_ref,  # stream b (HBM, manual DMA)
-    out_ref,  # [TILE, D] VMEM
-    accum,  # [TILE, D] f32 VMEM scratch: running new tile value
-    sums, cnts, ids_buf, upd_buf, cnt_buf, sems,
-):
-    """Two independent normalization groups folded in ONE table pass.
+def _visit_plan(bounds, n_tiles, n_chunks):
+    """Tile-major (tile, chunk, flags) visit list from the tile bounds.
 
-    Equivalent to two sequential ``_applier_kernel`` invocations (same
-    subtract order, so the f32 path is bit-identical) at half the table
-    traffic — the dominant cost when the table dwarfs the update streams.
+    The real visit count is data-dependent; the list is padded to the
+    static bound ``n_chunks + n_tiles`` with NOOP visits that keep the
+    last real tile index (so no spurious block flush ever happens).
     """
-    i = pl.program_id(0)
-    accum[:] = tile_ref[:].astype(jnp.float32)
-    _accumulate_stream(
-        i, bounds_a_ref[i], bounds_a_ref[i + 1], ids_a_ref, upd_a_ref,
-        cnt_a_ref, sums, cnts, ids_buf, upd_buf, cnt_buf, sems,
-    )
-    accum[:] = accum[:] - _row_step(sums[:], cnts[:], lr_ref[0], lr_ref[1])
-    _accumulate_stream(
-        i, bounds_b_ref[i], bounds_b_ref[i + 1], ids_b_ref, upd_b_ref,
-        cnt_b_ref, sums, cnts, ids_buf, upd_buf, cnt_buf, sems,
-    )
-    new = accum[:] - _row_step(sums[:], cnts[:], lr_ref[0], lr_ref[2])
-    if out_ref.dtype == jnp.bfloat16:
-        pltpu.prng_seed(seed_ref[0] + i)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(new.shape), jnp.uint32)
-        out_ref[:] = pltpu.stochastic_round(
-            new, bits, target_dtype=jnp.bfloat16
-        )
-    else:
-        out_ref[:] = new
+    lo = bounds[:-1]
+    hi = bounds[1:]
+    nonempty = hi > lo
+    c_lo = lo // CHUNK
+    c_hi = jnp.maximum((hi + CHUNK - 1) // CHUNK, c_lo + 1)
+    n_visits_t = jnp.where(nonempty, c_hi - c_lo, 0)  # [n_tiles]
+    offsets = jnp.cumsum(n_visits_t)
+    v_real = offsets[-1]
+    v_max = n_chunks + n_tiles
+
+    v = jnp.arange(v_max, dtype=jnp.int32)
+    tile = jnp.searchsorted(offsets, v, side="right").astype(jnp.int32)
+    tile_c = jnp.minimum(tile, n_tiles - 1)
+    start_of = jnp.where(tile_c > 0, offsets[tile_c - 1], 0)
+    within = v - start_of
+    chunk = (c_lo[tile_c] + within).astype(jnp.int32)
+    first = (within == 0).astype(jnp.int32) * _F_FIRST
+    last = (within == n_visits_t[tile_c] - 1).astype(jnp.int32) * _F_LAST
+    noop = (v >= v_real).astype(jnp.int32) * _F_NOOP
+    flags = jnp.where(noop > 0, _F_NOOP, first | last)
+    # NOOP visits pin the last real visit's tile so no new flush occurs
+    last_tile = tile_c[jnp.maximum(v_real - 1, 0)]
+    tile_out = jnp.where(noop > 0, last_tile, tile_c)
+    chunk_out = jnp.where(noop > 0, 0, jnp.minimum(chunk, n_chunks - 1))
+    return tile_out, chunk_out, flags
 
 
 def _apply_pallas(table, ids_s, upd_s, cnt_s, bounds, lr_cap, seed):
-    """Tile-streaming applier over PRE-SORTED updates."""
+    """Visit-list applier over PRE-SORTED updates."""
     n, d = table.shape
     n_tiles = n // TILE
+    n_chunks = ids_s.shape[0]
+    tiles, chunks, flags = _visit_plan(bounds, n_tiles, n_chunks)
+    v = tiles.shape[0]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_tiles,),
+        num_scalar_prefetch=5,
+        grid=(v,),
         in_specs=[
-            pl.BlockSpec((TILE, d), lambda i, b, lr_, sd: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (TILE, d),
+                lambda g, t, c, f, lr_, sd: (t[g], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, CHUNK // 8),
+                lambda g, t, c, f, lr_, sd: (c[g], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (CHUNK, d),
+                lambda g, t, c, f, lr_, sd: (c[g], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, CHUNK // 8),
+                lambda g, t, c, f, lr_, sd: (c[g], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (TILE, d), lambda i, b, lr_, sd: (i, 0), memory_space=pltpu.VMEM
+            (TILE, d),
+            lambda g, t, c, f, lr_, sd: (t[g], 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((TILE, d), jnp.float32),
             pltpu.VMEM((TILE, d), jnp.float32),
-            pltpu.SMEM((CHUNK,), jnp.int32),
-            pltpu.VMEM((CHUNK, d), upd_s.dtype),
-            pltpu.SMEM((CHUNK,), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
         _applier_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, d), table.dtype),
-        input_output_aliases={3: 0},  # table buffer reused for the output
-    )(bounds, lr_cap, seed, table, ids_s, upd_s, cnt_s)
+        input_output_aliases={5: 0},  # table buffer reused for the output
+    )(tiles, chunks, flags, lr_cap, seed, table, ids_s, upd_s, cnt_s)
 
 
-def _apply_pallas2(
-    table, streams_a, streams_b, bounds_a, bounds_b, lr_caps, seed
-):
-    """One table pass applying two pre-sorted update streams."""
-    n, d = table.shape
-    n_tiles = n // TILE
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((TILE, d), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 6,
-        out_specs=pl.BlockSpec(
-            (TILE, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((TILE, d), jnp.float32),  # accum
-            pltpu.VMEM((TILE, d), jnp.float32),  # sums
-            pltpu.VMEM((TILE, d), jnp.float32),  # cnts
-            pltpu.SMEM((CHUNK,), jnp.int32),
-            pltpu.VMEM((CHUNK, d), streams_a[1].dtype),
-            pltpu.SMEM((CHUNK,), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )
-    return pl.pallas_call(
-        _applier2_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, d), table.dtype),
-        input_output_aliases={4: 0},  # table buffer reused for the output
-    )(bounds_a, bounds_b, lr_caps, seed, table, *streams_a, *streams_b)
+def _prep_stream(ids, upd, cnt, n_pad, pad_d, order=None):
+    """Sort one update stream by destination row + pad to CHUNK blocks.
 
-
-def _prep_stream(ids, upd, cnt, n_pad, pad_d):
-    """Sort one update stream by destination row + pad for aligned DMA."""
+    ``order`` lets callers share one argsort across streams with the
+    same destination ids (the w_in/w_out token streams of one SGNS step).
+    """
     r = ids.shape[0]
     if pad_d:
         upd = jnp.pad(upd, ((0, 0), (0, pad_d)))
-    # payload stays f32: bf16 VMEM rows cannot be dynamically sliced at
-    # single-sublane granularity (16-row tiles)
     upd = upd.astype(jnp.float32)
-    order = jnp.argsort(ids)
+    if order is None:
+        order = jnp.argsort(ids)
     ids_s = ids[order]
-    upd_s = upd[order]  # fast-path row gather (payload width >= 64)
+    upd_s = upd[order]
     cnt_s = cnt[order].astype(jnp.float32)
-    # pad so any aligned CHUNK-window DMA below an update bound is in range
-    r_pad = (-(-r // CHUNK) + 1) * CHUNK
+    r_pad = -(-r // CHUNK) * CHUNK
+    # sentinel n_pad: local = n_pad - t*TILE >= TILE for every tile, so
+    # padding rows never match a one-hot row
     ids_s = jnp.pad(ids_s, (0, r_pad - r), constant_values=n_pad)
     upd_s = jnp.pad(upd_s, ((0, r_pad - r), (0, 0)))
     cnt_s = jnp.pad(cnt_s, (0, r_pad - r))
     edges = jnp.arange(n_pad // TILE + 1, dtype=jnp.int32) * TILE
     bounds = jnp.searchsorted(ids_s, edges).astype(jnp.int32)
-    return (ids_s, upd_s, cnt_s), bounds
+    # ids/cnt ship as [R/CHUNK, 8, 128] (row-major = stream order): one
+    # (1, 8, 128) block per visit — block tails must be (8, 128)-tiled
+    return (
+        ids_s.reshape(-1, 8, CHUNK // 8),
+        upd_s,
+        cnt_s.reshape(-1, 8, CHUNK // 8),
+    ), bounds
+
+
+def _pallas_apply_one(table, ids, upd, cnt, lr, cap, rng_seed, order=None):
+    """Pad table, prep one stream, run the visit-list kernel."""
+    n, d = table.shape
+    if ids.shape[0] == 0:  # empty stream: nothing to apply
+        return table
+    if n % TILE:
+        table = jnp.pad(table, ((0, TILE - n % TILE), (0, 0)))
+    pad_d = (_LANE - d % _LANE) % _LANE
+    if pad_d:
+        table = jnp.pad(table, ((0, 0), (0, pad_d)))
+    n_pad = table.shape[0]
+    (ids_s, upd_s, cnt_s), bounds = _prep_stream(
+        ids, upd, cnt, n_pad, pad_d, order=order
+    )
+    if rng_seed is None:
+        rng_seed = jnp.int32(0)
+    out = _apply_pallas(
+        table,
+        ids_s,
+        upd_s,
+        cnt_s,
+        bounds,
+        jnp.asarray([lr, cap], dtype=jnp.float32),
+        rng_seed.reshape(1).astype(jnp.int32),
+    )
+    return out[:n, :d]
 
 
 @functools.partial(
@@ -305,41 +313,25 @@ def apply_mean_updates_two(
     cap_b: float = DEFAULT_UPDATE_CAP,
     rng_seed: jax.Array = None,
 ) -> jax.Array:
-    """Apply two independent capped-mean update streams in one table pass.
+    """Apply two independent capped-mean update streams sequentially.
 
-    Exactly ``apply_mean_updates(apply_mean_updates(table, a...), b...)``
-    (bit-identical on the f32 path — same subtract order) but streams the
-    [N, dim] table through VMEM once instead of twice. The streams keep
-    separate normalization groups (counts and caps), which is the point:
-    merging them into one mean would let the more numerous stream drown
-    the other (see the w_out note in ``models/sgns.py``).
+    Semantics: ``apply_mean_updates(apply_mean_updates(table, a...),
+    b...)``. The streams keep separate normalization groups (counts and
+    caps), which is the point: merging them into one mean would let the
+    more numerous stream drown the other (see the w_out note in
+    ``models/sgns.py``). On TPU each stream's kernel touches only the
+    tiles its updates hit, so the combined table traffic stays near one
+    pass for typical (sparse-touch) streams.
     """
     if not use_pallas:
         out = _apply_scatter(table, ids_a, upd_a, cnt_a, lr, cap_a)
         return _apply_scatter(out, ids_b, upd_b, cnt_b, lr, cap_b)
-
-    n, d = table.shape
-    if n % TILE:
-        table = jnp.pad(table, ((0, TILE - n % TILE), (0, 0)))
-    pad_d = (_LANE - d % _LANE) % _LANE
-    if pad_d:
-        table = jnp.pad(table, ((0, 0), (0, pad_d)))
-    n_pad = table.shape[0]
-
-    streams_a, bounds_a = _prep_stream(ids_a, upd_a, cnt_a, n_pad, pad_d)
-    streams_b, bounds_b = _prep_stream(ids_b, upd_b, cnt_b, n_pad, pad_d)
     if rng_seed is None:
         rng_seed = jnp.int32(0)
-    out = _apply_pallas2(
-        table,
-        streams_a,
-        streams_b,
-        bounds_a,
-        bounds_b,
-        jnp.asarray([lr, cap_a, cap_b], dtype=jnp.float32),
-        rng_seed.reshape(1).astype(jnp.int32),
+    out = _pallas_apply_one(table, ids_a, upd_a, cnt_a, lr, cap_a, rng_seed)
+    return _pallas_apply_one(
+        out, ids_b, upd_b, cnt_b, lr, cap_b, rng_seed + 1
     )
-    return out[:n, :d]
 
 
 @functools.partial(
@@ -364,27 +356,47 @@ def apply_mean_updates(
     """
     if not use_pallas:
         return _apply_scatter(table, ids, upd, cnt, lr, cap)
+    return _pallas_apply_one(table, ids, upd, cnt, lr, cap, rng_seed)
 
-    n, d = table.shape
-    if n % TILE:
-        table = jnp.pad(table, ((0, TILE - n % TILE), (0, 0)))
-    pad_d = (_LANE - d % _LANE) % _LANE  # DMA slices need 128-lane rows
-    if pad_d:
-        table = jnp.pad(table, ((0, 0), (0, pad_d)))
-    n_pad = table.shape[0]
 
-    (ids_s, upd_s, cnt_s), bounds = _prep_stream(
-        ids, upd, cnt, n_pad, pad_d
-    )
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_pallas", "cap_a", "cap_b"),
+    donate_argnums=(0, 1),
+)
+def apply_mean_updates_same_ids(
+    table_a: jax.Array,
+    table_b: jax.Array,
+    ids: jax.Array,
+    upd_a: jax.Array,
+    cnt_a: jax.Array,
+    upd_b: jax.Array,
+    cnt_b: jax.Array,
+    lr: jax.Array,
+    use_pallas: bool = False,
+    cap_a: float = DEFAULT_UPDATE_CAP,
+    cap_b: float = DEFAULT_UPDATE_CAP,
+    rng_seed: jax.Array = None,
+):
+    """Two tables, one shared destination-id stream: sort once.
+
+    The SGNS step applies token-keyed updates to BOTH W_in (context
+    gradients) and W_out (center gradients) with the identical id vector
+    — sharing the argsort halves the sort cost of the token streams.
+    Results equal two independent ``apply_mean_updates`` calls.
+    """
+    if not use_pallas:
+        return (
+            _apply_scatter(table_a, ids, upd_a, cnt_a, lr, cap_a),
+            _apply_scatter(table_b, ids, upd_b, cnt_b, lr, cap_b),
+        )
     if rng_seed is None:
         rng_seed = jnp.int32(0)
-    out = _apply_pallas(
-        table,
-        ids_s,
-        upd_s,
-        cnt_s,
-        bounds,
-        jnp.asarray([lr, cap], dtype=jnp.float32),
-        rng_seed.reshape(1).astype(jnp.int32),
+    order = jnp.argsort(ids)
+    out_a = _pallas_apply_one(
+        table_a, ids, upd_a, cnt_a, lr, cap_a, rng_seed, order=order
     )
-    return out[:n, :d]
+    out_b = _pallas_apply_one(
+        table_b, ids, upd_b, cnt_b, lr, cap_b, rng_seed + 1, order=order
+    )
+    return out_a, out_b

@@ -163,3 +163,60 @@ def test_streaming_checkpoint_resume(tmp_path):
                              checkpoint_dir=ckdir, checkpoint_every=1)
     )
     np.testing.assert_allclose(full, resumed, rtol=1e-5, atol=1e-7)
+
+
+def test_negative_pool_equivalence_constant_table(rng):
+    """With a constant negative table every draw is the same node, so the
+    pooled and direct paths must produce the same update (the pooling
+    machinery — stride assignment, residue aggregation, roll — reduces
+    to a reorder of float sums)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, dim = 30, 16
+    walks = jnp.asarray(
+        rng.integers(0, n, (8, 12), dtype=np.int32)
+    )
+    eff = jnp.full((8,), 12, dtype=jnp.int32)
+    w_in = jnp.asarray(rng.standard_normal((n, dim)).astype(np.float32) * 0.1)
+    w_out = jnp.asarray(rng.standard_normal((n, dim)).astype(np.float32) * 0.1)
+    keep = jnp.ones(n, dtype=jnp.float32)
+    neg_table = jnp.full((256,), 7, dtype=jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    outs = {}
+    for pool in (0, 16):
+        config = sgns.SGNSConfig(
+            dim=dim, window=3, negative=4, sample=0.0, seed=0,
+            neg_pool=pool,
+        )
+        step = jax.jit(sgns.make_step_body(n, config))
+        outs[pool] = step(
+            w_in, w_out, walks, eff, keep, neg_table,
+            jnp.float32(0.02), key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs[0][0]), np.asarray(outs[16][0]), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0][1]), np.asarray(outs[16][1]), atol=2e-6
+    )
+
+
+def test_negative_pool_quality(rng):
+    """Training quality holds with the pooled negative sampler forced on
+    (tiny pool relative to the draw count)."""
+    import test_downstream as td
+
+    adj, labels = td.sbm_graph(rng)
+    ids = [str(i) for i in range(adj.shape[0])]
+    from pecanpy_tpu import pecanpy
+
+    g = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    walks, eff = g.simulate_walks_device(8, 30)
+    config = sgns.SGNSConfig(
+        dim=32, window=5, epochs=3, sample=0.0, seed=0, neg_pool=256,
+    )
+    emb = np.asarray(sgns.train(walks, eff, g.num_nodes, config))
+    f1 = td.micro_f1_nearest_centroid(emb, labels, rng)
+    assert f1 >= 0.9, f"micro-F1 {f1:.3f} below 0.9 with pooled negatives"

@@ -192,3 +192,34 @@ def test_scalar_compat_callbacks(rng):
     assert adj[nxt, nxt2] != 0
     thresholds = g.get_noise_thresholds()
     assert thresholds.shape == (8,)
+
+
+def test_precomp_wide_degree_fallback(rng):
+    """PreComp edges of nodes wider than PRECOMP_WIDTH sample via the OTF
+    fallback — the same 2nd-order law, computed instead of looked up."""
+    n = 90
+    adj = oracle.random_graph(rng, n, mean_degree=4.0, weighted=True)
+    hub = 0  # make node 0 wider than the 64-slot precomputed rows
+    adj[hub, 1:] = rng.uniform(0.5, 2.0, n - 1)
+    adj[1:, hub] = adj[hub, 1:]
+    p, q = 0.5, 2.0
+    g = make_graph(pecanpy.PreComp, adj, p=p, q=q, random_state=9)
+    g.preprocess_transition_probs()
+    assert g.edge_cdf.shape[1] == 64
+    assert g.get_device_graph().dpad > 64  # fallback path is compiled
+
+    walks, eff = walk_arrays(g, num_walks=500, walk_length=4)
+    counts = empirical_second_order_counts(walks, eff, n)
+    checked_wide = 0
+    for (prev, cur), nxts in counts.items():
+        if len(nxts) < 350 or cur != hub:
+            continue
+        nbrs = np.nonzero(adj[cur])[0]
+        expected = oracle.node2vec_probs(adj, cur, prev, p, q)
+        freq = np.array([(np.array(nxts) == nb).mean() for nb in nbrs])
+        np.testing.assert_allclose(
+            freq, expected, atol=4.5 * np.sqrt(0.25 / len(nxts)) + 0.02,
+            err_msg=f"cur={cur} prev={prev} n={len(nxts)}",
+        )
+        checked_wide += 1
+    assert checked_wide >= 1, "no high-count transitions through the hub"
