@@ -43,6 +43,8 @@ def main():
     g.set_node_ids([str(i) for i in range(n)])
 
     t0 = time.perf_counter()
+    # default (auto) batch_walks: sized so per-row gradient counts stay
+    # near the update cap — large forced chunks throttle learning
     emb = g.embed(dim=128, num_walks=10, walk_length=80, window_size=10)
     t_embed = time.perf_counter() - t0
     print(f"embed: {t_embed:.1f}s", file=sys.stderr)

@@ -30,7 +30,10 @@ def main():
     walks = jnp.asarray(rng.integers(0, n, (n_walks, t_cols), dtype=np.int32))
     eff = jnp.full((n_walks,), t_cols, dtype=jnp.int32)
 
-    config = sgns.SGNSConfig(dim=128, window=10, negative=5, seed=0)
+    bw = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    config = sgns.SGNSConfig(
+        dim=128, window=10, negative=5, seed=0, batch_walks=bw
+    )
     use_pallas = jax.default_backend() == "tpu"
     chunk = sgns.resolve_batch_walks(config, n, t_cols)
     n_chunks = n_walks // chunk

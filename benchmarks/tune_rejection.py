@@ -38,12 +38,12 @@ def main():
     key = jax.random.PRNGKey(0)
 
     configs = [
-        (4, 8, 4),   # round-1 defaults
-        (2, 8, 4),
-        (2, 8, 8),
-        (1, 8, 8),
-        (2, 16, 8),
-        (4, 8, 16),
+        (2, 16, 8),   # round-2 defaults (best of sweep 1)
+        (3, 16, 8),
+        (3, 16, 12),
+        (4, 16, 12),
+        (2, 16, 16),
+        (3, 12, 8),
     ]
     for t0, ts, frac in configs:
         rejection.FIRST_ROUND_TRIALS = t0

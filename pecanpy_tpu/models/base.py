@@ -309,6 +309,7 @@ class Base(BaseGraph):
         table_dtype: str = "float32",
         n_devices: Optional[int] = None,
         model_parallel: int = 1,
+        batch_walks: Optional[int] = None,
     ) -> Embeddings:
         """Walks + on-device SGNS, returning graph-aligned embeddings.
 
@@ -334,6 +335,7 @@ class Base(BaseGraph):
             epochs=epochs,
             seed=self.random_state,
             table_dtype=table_dtype,
+            batch_walks=batch_walks,
         )
 
         if n_devices is not None and n_devices > 1:
