@@ -41,7 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pecanpy_tpu.models import engine
 from pecanpy_tpu.ops import hubs as hubs_lib
-from pecanpy_tpu.ops import rejection, sampling, transition
+from pecanpy_tpu.ops import rejection
 from pecanpy_tpu.ops.layout import DeviceCSR
 from pecanpy_tpu.parallel.mesh import DATA_AXIS
 

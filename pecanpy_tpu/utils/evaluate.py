@@ -8,7 +8,7 @@ count, then report micro-F1. This module implements that protocol on
 device (a [dim, C] weight matrix — one small jit) so quality numbers are
 comparable to the literature, unlike accuracy-style proxies.
 """
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
