@@ -219,6 +219,7 @@ def train_streaming_multichip(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 50,
     batch: Optional[int] = None,
+    max_steps: Optional[int] = None,
 ) -> np.ndarray:
     """Two-pass streaming pipeline on a mesh: vocab scan, then fused
     walk+train steps. Multi-device counterpart of
@@ -302,6 +303,10 @@ def train_streaming_multichip(
     t0 = _time.perf_counter()
     for epoch in range(epochs):
         for part in batches:
+            if max_steps is not None and step_idx >= max_steps:
+                if ckpt is not None:
+                    ckpt.close()
+                return np.asarray(w_in.astype(jnp.float32))
             if step_idx < resume_step:
                 done_tokens += tokens_per_batch
                 step_idx += 1

@@ -44,12 +44,14 @@ for i in range(n - 1):
 if adj[n - 1].sum() == 0:
     adj[n - 1, 0] = adj[0, n - 1] = 1.0
 
-for cap in (128, 5):  # fused-only and hub/rejection collective paths
+cases = [(128, "psum"), (5, "psum"), (128, "alltoall")]
+for cap, exchange in cases:  # fused, hub/rejection, and a2a exchanges
     graph = device_csr_from_dense(adj, degree_cap=cap)
     mesh = multihost.global_mesh()
     starts = np.tile(np.arange(n, dtype=np.int32), 8)
     walks, eff = simulate_walks_distributed(
-        graph, mesh, starts, walk_length=5, p=0.5, q=2.0, seed=7
+        graph, mesh, starts, walk_length=5, p=0.5, q=2.0, seed=7,
+        exchange=exchange,
     )
     my_walks = multihost.local_array(walks)
     my_eff = multihost.local_array(eff)
@@ -57,7 +59,7 @@ for cap in (128, 5):  # fused-only and hub/rejection collective paths
     for row, m in zip(my_walks, my_eff):
         for a, b in zip(row[: m - 1], row[1:m]):
             assert adj[a, b] != 0, f"proc {pid}: non-edge {a}->{b}"
-    print(f"proc {pid} cap={cap}: ok ({my_walks.shape[0]} walks)", flush=True)
+    print(f"proc {pid} cap={cap} {exchange}: ok", flush=True)
 print(f"proc {pid}: PASS", flush=True)
 """
 

@@ -153,3 +153,37 @@ def test_multichip_cli_devices(eight_devices, tmp_path, karate_edg):
     z = np.load(out)
     assert z["data"].shape == (34, 8)
     assert np.isfinite(z["data"]).all()
+
+
+def test_multichip_streaming_checkpoint_resume(eight_devices, rng, tmp_path):
+    """The mesh streaming trainer resumes from a snapshot: a fresh run and
+    an interrupted+resumed run produce identical embeddings."""
+    from pecanpy_tpu.parallel.train import train_streaming_multichip
+
+    pytest.importorskip("orbax.checkpoint")
+    adj = oracle.random_graph(rng, 20, mean_degree=5.0, weighted=True)
+    graph = device_csr_from_dense(adj)
+    m = mesh_lib.make_mesh(8, model_parallel=2)
+    config = SGNSConfig(dim=16, window=3, negative=2, seed=0)
+    starts = np.tile(np.arange(20, dtype=np.int32), 6)
+
+    def trainer():
+        return MultichipTrainer(
+            mesh=m, graph=graph, config=config, walk_length=6, p=0.5, q=2.0
+        )
+
+    full = train_streaming_multichip(
+        trainer(), starts, epochs=2, seed=5, batch=40
+    )
+    ckpt_dir = str(tmp_path / "ck")
+    # interrupted run (same 2-epoch plan, stopped after 3 steps),
+    # snapshotting every step; then resume to completion
+    train_streaming_multichip(
+        trainer(), starts, epochs=2, seed=5, batch=40,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1, max_steps=3,
+    )
+    resumed = train_streaming_multichip(
+        trainer(), starts, epochs=2, seed=5, batch=40,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    np.testing.assert_allclose(full, resumed, atol=1e-6)
