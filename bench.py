@@ -14,6 +14,7 @@ which cannot run here (no numba in the image); vectorized numpy is at
 least competitive with PecanPy's scalar per-step loop on one CPU.
 """
 import json
+import os
 import sys
 import time
 
@@ -101,7 +102,7 @@ def main():
     n = 1_000_000
     avg_deg = 16
     p, q = 0.5, 2.0
-    walkers = 131_072
+    walkers = int(os.environ.get("BENCH_WALKERS", 131_072))
     walk_length = 80
 
     print(f"building {n}-node graph...", file=sys.stderr)
