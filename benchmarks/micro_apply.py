@@ -1,29 +1,36 @@
 #!/usr/bin/env python
 """Break down the Pallas applier's cost: argsort vs payload permute vs
-the tile-streaming kernel, at the negative-stream size of one chunk-step.
+the tile-streaming kernel, at the token-stream size of one chunk-step.
 
-Run: python benchmarks/micro_apply.py [n_rows]
+Per-op cost is the SLOPE between two in-jit repetition counts, which
+cancels the tunneled device's ~50-75 ms dispatch floor.
+
+Run from repo root: python benchmarks/micro_apply.py [n_rows]
 """
 import sys
 import time
 
 import numpy as np
 
-K = 8
+K1, K2 = 8, 32
 
 
-def bench(fn, *args):
+def bench(make_fn, *args):
     import jax
 
-    out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    ts = {}
+    for k in (K1, K2):
+        fn = make_fn(k)
         out = fn(*args)
         np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
-        best = min(best, time.perf_counter() - t0)
-    return best / K
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+            best = min(best, time.perf_counter() - t0)
+        ts[k] = best
+    return (ts[K2] - ts[K1]) / (K2 - K1)
 
 
 def main():
@@ -40,63 +47,87 @@ def main():
     cnt = jnp.ones(r, jnp.float32)
     table = jnp.zeros((n, 128), jnp.float32)
 
-    @jax.jit
-    def sort_only(ids):
-        def body(i, carry):
-            ids, acc = carry
-            order = jnp.argsort(ids)
-            return ids, acc + order[0]
-        return jax.lax.fori_loop(0, K, body, (ids, jnp.int32(0)))[1]
+    def make_sort(k):
+        @jax.jit
+        def sort_only(ids):
+            def body(i, carry):
+                ids, acc = carry
+                order = jnp.argsort(ids + i)
+                return ids, acc + order[0]
+            return jax.lax.fori_loop(0, k, body, (ids, jnp.int32(0)))[1]
+        return sort_only
 
-    print(f"argsort [R={r}] int32:        {bench(sort_only, ids)*1e3:6.1f} ms",
+    print(f"argsort [R={r}] int32:        {bench(make_sort, ids)*1e3:6.1f} ms",
           flush=True)
 
     order = jnp.argsort(ids)
 
-    @jax.jit
-    def permute_only(upd, order):
-        def body(i, carry):
-            upd, acc = carry
-            s = upd[order]
-            return upd, acc + s[0, 0]
-        return jax.lax.fori_loop(0, K, body, (upd, jnp.float32(0)))[1]
+    def make_permute(k):
+        @jax.jit
+        def permute_only(upd, order):
+            def body(i, carry):
+                upd, acc = carry
+                s = upd[(order + i) % r]
+                return upd, acc + s[0, 0]
+            return jax.lax.fori_loop(0, k, body, (upd, jnp.float32(0)))[1]
+        return permute_only
 
-    print(f"payload permute [R, 128]:     {bench(permute_only, upd, order)*1e3:6.1f} ms",
+    print(f"payload permute [R, 128]:     {bench(make_permute, upd, order)*1e3:6.1f} ms",
           flush=True)
 
-    @jax.jit
-    def full(table, ids, upd, cnt):
-        def body(i, table):
-            return apply_lib.apply_mean_updates(
-                table, ids, upd, cnt, jnp.float32(1e-4), use_pallas=True
-            )
-        return jax.lax.fori_loop(0, K, body, table)
+    def make_full(k):
+        @jax.jit
+        def full(table, ids, upd, cnt):
+            def body(i, table):
+                return apply_lib.apply_mean_updates(
+                    table, ids, upd, cnt, jnp.float32(1e-4), use_pallas=True
+                )
+            return jax.lax.fori_loop(0, k, body, table)
+        return full
 
-    print(f"full apply_mean_updates:      {bench(full, table, ids, upd, cnt)*1e3:6.1f} ms",
+    print(f"full apply_mean_updates:      {bench(make_full, table, ids, upd, cnt)*1e3:6.1f} ms",
           flush=True)
 
-    # pre-sorted kernel-only: sort outside, measure the pallas_call path
+    # pre-sorted kernel-only: sort outside, measure scales + pallas_call
     ids_s = ids[order]
     upd_s = upd[order]
     cnt_s = cnt
 
-    @jax.jit
-    def presorted(table, ids_s, upd_s, cnt_s):
-        def body(i, table):
-            # ids already sorted: argsort of sorted ids is cheap? no —
-            # measure the pipeline minus data movement by reusing the
-            # sorted arrays directly through the private kernel wrapper
-            (i2, u2, c2), bounds = apply_lib._prep_stream(
-                ids_s, upd_s, cnt_s, table.shape[0], 0
-            )
-            return apply_lib._apply_pallas(
-                table, i2, u2, c2, bounds,
-                jnp.asarray([1e-4, 4.0], jnp.float32),
-                jnp.zeros(1, jnp.int32),
-            )
-        return jax.lax.fori_loop(0, K, body, table)
+    def make_presorted(k):
+        @jax.jit
+        def presorted(table, ids_s, upd_s, cnt_s):
+            def body(i, table):
+                scale = apply_lib._sorted_scales(
+                    ids_s, cnt_s, jnp.float32(1e-4), 4.0
+                )
+                return apply_lib._finalize_and_run(
+                    table, ids_s, upd_s * scale[:, None], jnp.int32(0)
+                )
+            return jax.lax.fori_loop(0, k, body, table)
+        return presorted
 
-    print(f"prep+kernel on sorted input:  {bench(presorted, table, ids_s, upd_s, cnt_s)*1e3:6.1f} ms",
+    print(f"prep+kernel on sorted input:  {bench(make_presorted, table, ids_s, upd_s, cnt_s)*1e3:6.1f} ms",
+          flush=True)
+
+    # merged two-stream pass (the SGNS w_out shape: token stream + a
+    # 32k negative pool stream) vs two sequential one-stream passes
+    r_b = 32768
+    ids_b = jnp.asarray(rng.integers(0, n, r_b, dtype=np.int32))
+    upd_b = jnp.asarray(rng.standard_normal((r_b, 128)).astype(np.float32))
+    cnt_b = jnp.ones(r_b, jnp.float32)
+
+    def make_merged(k):
+        @jax.jit
+        def merged(table, ids, upd, cnt, ids_b, upd_b, cnt_b):
+            def body(i, table):
+                return apply_lib.apply_mean_updates_two(
+                    table, ids, upd, cnt, ids_b, upd_b, cnt_b,
+                    jnp.float32(1e-4), use_pallas=True,
+                )
+            return jax.lax.fori_loop(0, k, body, table)
+        return merged
+
+    print(f"merged two-stream pass:       {bench(make_merged, table, ids, upd, cnt, ids_b, upd_b, cnt_b)*1e3:6.1f} ms",
           flush=True)
 
 

@@ -49,7 +49,7 @@ import numpy as np
 
 from pecanpy_tpu.ops.apply import (
     apply_mean_updates,
-    apply_mean_updates_same_ids,
+    apply_mean_updates_two,
 )
 
 
@@ -230,14 +230,33 @@ def make_step_body(
                 jax.random.randint(k_pool, (m_pool,), 0, neg_table.shape[0])
             ]  # [M]
             off = jax.random.randint(k_off, (), 0, m_pool)
-            flat = jnp.arange(r_neg, dtype=jnp.int32)
-            negs = pool[(flat + off) % m_pool].reshape(wb, t, k_neg)
+            # slot s takes pool[(s + off) % M] == roll(pool, -off)[s % M]:
+            # the rolled pool tiles across the flat (b, t, k) axis, so the
+            # negative EMBEDDING rows are gathered once for the M pool
+            # slots and broadcast-tiled — r_neg/M fewer row gathers than
+            # fetching w_out[negs] directly (the dominant negative-side
+            # cost at default shapes: ~500k gathers -> 32k).
+            reps = -(-r_neg // m_pool)
+            pool_r = jnp.roll(pool, -off)
+            negs = (
+                jnp.broadcast_to(pool_r[None], (reps, m_pool))
+                .reshape(-1)[:r_neg]
+                .reshape(wb, t, k_neg)
+            )
+            pool_rows = w_out[pool_r].astype(jnp.float32)  # [M, dim]
+            u_neg = (
+                jnp.broadcast_to(
+                    pool_rows[None], (reps, m_pool, dim)
+                )
+                .reshape(-1, dim)[:r_neg]
+                .reshape(wb, t, k_neg, dim)
+            )
         else:
             slots = jax.random.randint(
                 key_neg, (wb, t, k_neg), 0, neg_table.shape[0]
             )
             negs = neg_table[slots]  # [Wb, T, K]
-        u_neg = w_out[negs].astype(jnp.float32)  # [Wb, T, K, dim]
+            u_neg = w_out[negs].astype(jnp.float32)  # [Wb, T, K, dim]
         neg_logits = jnp.einsum("btd,btkd->btk", v, u_neg)
         if model_axis is not None:  # partial dots over the dim shards
             neg_logits = jax.lax.psum(neg_logits, model_axis)
@@ -294,18 +313,18 @@ def make_step_body(
         du_flat = du.reshape(-1, dim)
         cnt_u_flat = cnt_u.reshape(-1)
         if use_pool:
-            # pre-aggregate the negative updates per pool slot: residue
-            # r collects every draw s with s % M == r, then a roll maps
-            # residues to slots ((s + off) % M). Sums and counts per
-            # table row reach the applier unchanged — only grouped.
+            # pre-aggregate the negative updates per pool slot: position
+            # s of the ROLLED pool serves every draw with s % M == s, so
+            # a reshape-sum over the tiling axis groups the updates; the
+            # rolled pool itself is the id stream (no final roll needed).
+            # Sums and counts per table row reach the applier unchanged —
+            # only grouped.
             pad_r = (-r_neg) % m_pool
             dn = jnp.pad(du_neg.reshape(r_neg, dim), ((0, pad_r), (0, 0)))
             cv = jnp.pad(c_v.reshape(r_neg), (0, pad_r))
-            by_res = jnp.sum(dn.reshape(-1, m_pool, dim), axis=0)
-            cnt_res = jnp.sum(cv.reshape(-1, m_pool), axis=0)
-            negs_flat = pool
-            du_neg_flat = jnp.roll(by_res, off, axis=0)
-            c_v_flat = jnp.roll(cnt_res, off)
+            negs_flat = pool_r
+            du_neg_flat = jnp.sum(dn.reshape(-1, m_pool, dim), axis=0)
+            c_v_flat = jnp.sum(cv.reshape(-1, m_pool), axis=0)
         else:
             negs_flat = negs.reshape(-1)
             du_neg_flat = du_neg.reshape(-1, dim)
@@ -321,34 +340,35 @@ def make_step_body(
             negs_flat, du_neg_flat, c_v_flat = map(
                 ag, (negs_flat, du_neg_flat, c_v_flat)
             )
-        # the context gradients hit W_in and the center gradients hit
-        # W_out with the IDENTICAL token-id stream: one shared argsort
-        w_in, w_out = apply_mean_updates_same_ids(
+        # context gradients stream into W_in
+        w_in = apply_mean_updates(
             w_in,
-            w_out,
             ids_tok,
             dv_flat,
             cnt_v_flat,
-            du_flat,
-            cnt_u_flat,
             lr,
             use_pallas=use_pallas,
-            cap_a=cap,
-            cap_b=cap,
+            cap=cap,
             rng_seed=rng_seed,
         )
-        # negative contributions are a separate normalization group (as
-        # in per-role sequential SGD): folding them into the center mean
-        # would let the 5x more numerous negative pushes dominate every
-        # W_out row and the embedding space collapses to one direction
-        w_out = apply_mean_updates(
+        # W_out takes the center-gradient (token-keyed) and the
+        # negative-gradient streams in ONE merged table pass. They stay
+        # separate NORMALIZATION groups (as in per-role sequential SGD):
+        # folding the 5x more numerous negative pushes into the center
+        # mean would dominate every W_out row and the embedding space
+        # collapses to one direction.
+        w_out = apply_mean_updates_two(
             w_out,
+            ids_tok,
+            du_flat,
+            cnt_u_flat,
             negs_flat,
             du_neg_flat,
             c_v_flat,
             lr,
             use_pallas=use_pallas,
-            cap=cap,
+            cap_a=cap,
+            cap_b=cap,
             rng_seed=rng_seed + 2,
         )
         return w_in, w_out

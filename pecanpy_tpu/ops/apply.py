@@ -2,17 +2,25 @@
 
 The SGNS update is "W[i] -= lr * capped-mean of the gradient rows with
 id i" for ~1e5-1e6 (id, grad) pairs per step against a [N, dim] table.
-XLA's scatter-add on TPU is catastrophically slow for this shape
-(measured ~1.7 s for 65k rows into [1M, 128] — cost scales with the
-TABLE, ~500x a plain copy), so the hot path is a Pallas kernel:
+XLA's scatter-add on TPU is catastrophically slow for this shape (cost
+scales with the TABLE, ~500x a plain copy), so the hot path is a Pallas
+kernel:
 
 1. sort the updates by destination row (one argsort of [R] int32 + one
-   row gather to permute the payload — both ~4 ms at R=500k);
-2. build a VISIT LIST: the (table tile, update chunk) pairs that
+   row gather to permute the payload);
+2. PRE-SCALE the payload on the stream: each destination row's total
+   contribution count is an entry-wise function of the sorted stream
+   (two ``searchsorted``s of the sorted ids against themselves + one
+   cumsum of the counts), so ``lr * min(total, cap) / total`` folds into
+   the update rows *before* the kernel. Application becomes strictly
+   linear — ``table -= sum of scaled rows`` — which halves the kernel's
+   matmul work (no count accumulator) and lets independent streams merge
+   into one table pass (see ``apply_mean_updates_two``);
+3. build a VISIT LIST: the (table tile, update chunk) pairs that
    intersect, tile-major (host-side jnp over ~R/CHUNK + N/TILE entries).
    Only tiles that actually receive updates appear — untouched tiles are
    never read or written (the output aliases the input buffer);
-3. one grid step per visit: Pallas pipelines the chunk/tile blocks via
+4. one grid step per visit: Pallas pipelines the chunk/tile blocks via
    data-dependent BlockSpec index maps read from scalar prefetch (the
    v5e guide's "revisiting blocks" pattern — consecutive visits of one
    tile keep it resident in VMEM), and each visit folds its 1024-row
@@ -21,18 +29,26 @@ TABLE, ~500x a plain copy), so the hot path is a Pallas kernel:
    update row selects its destination row; rows outside the tile give
    all-zero columns, which also makes cross-tile chunk sharing and
    padding masking free. The last visit of a tile applies
-   ``tile - lr * sums * min(cnt, cap)/cnt`` and resets the scratch.
+   ``tile - sums`` and resets the scratch.
+
+Merged streams: since application is linear after pre-scaling, two
+update streams with *independent normalization groups* (e.g. the SGNS
+center-gradient and negative-gradient streams into W_out) are sorted
+together under the composite key ``id * 2 + stream`` — the groups stay
+separate for the cap/total computation, then the combined stream runs
+ONE kernel pass instead of two full table streams.
 
 Design history (v5e, 500k rows into [1M, 128]): a per-entry scalar
 accumulation loop ran at ~90 cycles/row (58.5 ms); switching the fold to
 one-hot matmuls barely helped (45.9 ms) because the real cost was the
 per-tile machinery — manually sequenced DMAs and visiting all N/TILE
-tiles. The visit-list pipeline removes both.
+tiles. The visit-list pipeline removes both; the pre-scaled linear form
+then removes the second (count) matmul per visit.
 
 The one-hot dots run in bf16 by default (4x MXU rate): the one-hot
-matrix and the counts are exact in bf16; the payload quantizes to ~3
-decimal digits — far below SGD gradient noise (downstream micro-F1
-benches pin quality). Set ``DOT_BF16 = False`` for f32 accumulation.
+matrix is exact in bf16; the payload quantizes to ~3 decimal digits —
+far below SGD gradient noise (downstream micro-F1 benches pin quality).
+Set ``DOT_BF16 = False`` for f32 accumulation.
 
 bfloat16 tables: the kernel streams bf16 tiles, accumulates in f32, and
 writes back with **stochastic rounding** (pltpu.prng_random_bits +
@@ -91,15 +107,12 @@ def _applier_kernel(
     tiles_ref,  # [V] scalar-prefetch: table tile per visit (drives specs)
     chunks_ref,  # [V] scalar-prefetch: update chunk per visit
     flags_ref,  # [V] scalar-prefetch: FIRST/LAST/NOOP bits
-    lr_ref,  # [2] scalar-prefetch: (lr, update cap)
     seed_ref,  # [1] int32 scalar-prefetch: stochastic-rounding seed
     tile_ref,  # [TILE, D] VMEM: this visit's table tile
     ids_ref,  # [1, 8, CHUNK/8] VMEM: this visit's sorted destination rows
-    upd_ref,  # [CHUNK, D] VMEM: this visit's payload rows
-    cnt_ref,  # [1, 8, CHUNK/8] VMEM: this visit's contribution counts
+    upd_ref,  # [CHUNK, D] VMEM: this visit's PRE-SCALED payload rows
     out_ref,  # [TILE, D] VMEM (aliases the table buffer)
     sums,  # [TILE, D] f32 VMEM scratch
-    cnts,  # [TILE, D] f32 VMEM scratch (all lanes equal)
 ):
     g = pl.program_id(0)
     t = tiles_ref[g]
@@ -110,7 +123,6 @@ def _applier_kernel(
         @pl.when((flags & _F_FIRST) != 0)
         def _():
             sums[:] = jnp.zeros_like(sums)
-            cnts[:] = jnp.zeros_like(cnts)
 
         dot_t = jnp.bfloat16 if DOT_BF16 else jnp.float32
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, CHUNK), 0)
@@ -121,20 +133,10 @@ def _applier_kernel(
             onehot, upd_ref[:].astype(dot_t),
             preferred_element_type=jnp.float32,
         )
-        # counts ride a second dot; exact: small integers are exact in
-        # bf16 and the MXU accumulates in f32
-        cnt_row = cnt_ref[:].reshape(1, CHUNK).astype(jnp.bfloat16)
-        oc = onehot.astype(jnp.bfloat16) * cnt_row
-        cnts[:] = cnts[:] + jax.lax.dot(
-            oc, jnp.ones((CHUNK, sums.shape[1]), dtype=jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
 
         @pl.when((flags & _F_LAST) != 0)
         def _():
-            new = tile_ref[:].astype(jnp.float32) - _row_step(
-                sums[:], cnts[:], lr_ref[0], lr_ref[1]
-            )
+            new = tile_ref[:].astype(jnp.float32) - sums[:]
             if out_ref.dtype == jnp.bfloat16:
                 # lr-scale movements sit below the bf16 ulp of typical
                 # weights: stochastic rounding keeps SGD unbiased
@@ -183,8 +185,8 @@ def _visit_plan(bounds, n_tiles, n_chunks):
     return tile_out, chunk_out, flags
 
 
-def _apply_pallas(table, ids_s, upd_s, cnt_s, bounds, lr_cap, seed):
-    """Visit-list applier over PRE-SORTED updates."""
+def _apply_pallas(table, ids_s, upd_s, bounds, seed):
+    """Visit-list applier over a PRE-SORTED, PRE-SCALED stream."""
     n, d = table.shape
     n_tiles = n // TILE
     n_chunks = ids_s.shape[0]
@@ -192,37 +194,31 @@ def _apply_pallas(table, ids_s, upd_s, cnt_s, bounds, lr_cap, seed):
     v = tiles.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(v,),
         in_specs=[
             pl.BlockSpec(
                 (TILE, d),
-                lambda g, t, c, f, lr_, sd: (t[g], 0),
+                lambda g, t, c, f, sd: (t[g], 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 8, CHUNK // 8),
-                lambda g, t, c, f, lr_, sd: (c[g], 0, 0),
+                lambda g, t, c, f, sd: (c[g], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (CHUNK, d),
-                lambda g, t, c, f, lr_, sd: (c[g], 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 8, CHUNK // 8),
-                lambda g, t, c, f, lr_, sd: (c[g], 0, 0),
+                lambda g, t, c, f, sd: (c[g], 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (TILE, d),
-            lambda g, t, c, f, lr_, sd: (t[g], 0),
+            lambda g, t, c, f, sd: (t[g], 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE, d), jnp.float32),
             pltpu.VMEM((TILE, d), jnp.float32),
         ],
     )
@@ -230,68 +226,80 @@ def _apply_pallas(table, ids_s, upd_s, cnt_s, bounds, lr_cap, seed):
         _applier_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, d), table.dtype),
-        input_output_aliases={5: 0},  # table buffer reused for the output
-    )(tiles, chunks, flags, lr_cap, seed, table, ids_s, upd_s, cnt_s)
+        input_output_aliases={4: 0},  # table buffer reused for the output
+    )(tiles, chunks, flags, seed, table, ids_s, upd_s)
 
 
-def _prep_stream(ids, upd, cnt, n_pad, pad_d, order=None):
-    """Sort one update stream by destination row + pad to CHUNK blocks.
+def _sorted_scales(keys_s, cnt_s, lr, cap):
+    """Entry-wise ``lr * min(total, cap) / total`` over a sorted stream.
 
-    ``order`` lets callers share one argsort across streams with the
-    same destination ids (the w_in/w_out token streams of one SGNS step).
+    ``total`` is the summed count of the entry's key group. Over a SORTED
+    stream the group totals fall out of pure scan arithmetic — no
+    searchsorted (XLA lowers it to log(R) serialized gather rounds, ~40ms
+    at R=500k on TPU) and no [N]-sized array:
+
+    * ``cum`` (inclusive cumsum of counts) is nondecreasing, so the
+      nearest group END at-or-right of i is ``cummin(reverse)`` of cum
+      masked to end positions, and the nearest group START at-or-left is
+      ``cummax`` of the exclusive cumsum masked to start positions.
+
+    Exact for the integer-valued counts SGNS produces.
     """
-    r = ids.shape[0]
-    if pad_d:
-        upd = jnp.pad(upd, ((0, 0), (0, pad_d)))
-    upd = upd.astype(jnp.float32)
-    if order is None:
-        order = jnp.argsort(ids)
-    ids_s = ids[order]
-    upd_s = upd[order]
-    cnt_s = cnt[order].astype(jnp.float32)
-    r_pad = -(-r // CHUNK) * CHUNK
-    # sentinel n_pad: local = n_pad - t*TILE >= TILE for every tile, so
-    # padding rows never match a one-hot row
-    ids_s = jnp.pad(ids_s, (0, r_pad - r), constant_values=n_pad)
-    upd_s = jnp.pad(upd_s, ((0, r_pad - r), (0, 0)))
-    cnt_s = jnp.pad(cnt_s, (0, r_pad - r))
-    edges = jnp.arange(n_pad // TILE + 1, dtype=jnp.int32) * TILE
-    bounds = jnp.searchsorted(ids_s, edges).astype(jnp.int32)
-    # ids/cnt ship as [R/CHUNK, 8, 128] (row-major = stream order): one
-    # (1, 8, 128) block per visit — block tails must be (8, 128)-tiled
-    return (
-        ids_s.reshape(-1, 8, CHUNK // 8),
-        upd_s,
-        cnt_s.reshape(-1, 8, CHUNK // 8),
-    ), bounds
+    cnt_f = cnt_s.astype(jnp.float32)
+    cum = jnp.cumsum(cnt_f)  # inclusive
+    change = keys_s[1:] != keys_s[:-1]
+    true1 = jnp.ones(1, dtype=bool)
+    start = jnp.concatenate([true1, change])
+    end = jnp.concatenate([change, true1])
+    inf = jnp.float32(jnp.inf)
+    seg_lo = jax.lax.cummax(jnp.where(start, cum - cnt_f, -inf))
+    seg_hi = jax.lax.cummin(jnp.where(end, cum, inf), reverse=True)
+    tot = seg_hi - seg_lo
+    return lr * jnp.minimum(tot, cap) / jnp.maximum(tot, _EPS)
 
 
-def _pallas_apply_one(table, ids, upd, cnt, lr, cap, rng_seed, order=None):
-    """Pad table, prep one stream, run the visit-list kernel."""
+def _finalize_and_run(table, ids_s, upd_s, rng_seed):
+    """Pad a sorted, pre-scaled stream + the table; run the kernel."""
     n, d = table.shape
-    if ids.shape[0] == 0:  # empty stream: nothing to apply
-        return table
     if n % TILE:
         table = jnp.pad(table, ((0, TILE - n % TILE), (0, 0)))
     pad_d = (_LANE - d % _LANE) % _LANE
     if pad_d:
         table = jnp.pad(table, ((0, 0), (0, pad_d)))
+        upd_s = jnp.pad(upd_s, ((0, 0), (0, pad_d)))
     n_pad = table.shape[0]
-    (ids_s, upd_s, cnt_s), bounds = _prep_stream(
-        ids, upd, cnt, n_pad, pad_d, order=order
-    )
+    r = ids_s.shape[0]
+    r_pad = -(-r // CHUNK) * CHUNK
+    # sentinel n_pad: local = n_pad - t*TILE >= TILE for every tile, so
+    # padding rows never match a one-hot row
+    ids_s = jnp.pad(ids_s, (0, r_pad - r), constant_values=n_pad)
+    upd_s = jnp.pad(upd_s, ((0, r_pad - r), (0, 0)))
+    edges = jnp.arange(n_pad // TILE + 1, dtype=jnp.int32) * TILE
+    bounds = jnp.searchsorted(ids_s, edges).astype(jnp.int32)
     if rng_seed is None:
         rng_seed = jnp.int32(0)
     out = _apply_pallas(
         table,
-        ids_s,
+        # ids ship as [R/CHUNK, 8, 128] (row-major = stream order): one
+        # (1, 8, 128) block per visit — block tails must be (8, 128)-tiled
+        ids_s.reshape(-1, 8, CHUNK // 8),
         upd_s,
-        cnt_s,
         bounds,
-        jnp.asarray([lr, cap], dtype=jnp.float32),
         rng_seed.reshape(1).astype(jnp.int32),
     )
     return out[:n, :d]
+
+
+def _pallas_apply_one(table, ids, upd, cnt, lr, cap, rng_seed):
+    """Sort + pre-scale one stream, run the visit-list kernel."""
+    if ids.shape[0] == 0:  # empty stream: nothing to apply
+        return table
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    cnt_s = cnt[order].astype(jnp.float32)
+    scale = _sorted_scales(ids_s, cnt_s, lr, cap)
+    upd_s = upd[order].astype(jnp.float32) * scale[:, None]
+    return _finalize_and_run(table, ids_s, upd_s, rng_seed)
 
 
 @functools.partial(
@@ -313,24 +321,40 @@ def apply_mean_updates_two(
     cap_b: float = DEFAULT_UPDATE_CAP,
     rng_seed: jax.Array = None,
 ) -> jax.Array:
-    """Apply two independent capped-mean update streams sequentially.
+    """Apply two independent capped-mean update streams in ONE table pass.
 
     Semantics: ``apply_mean_updates(apply_mean_updates(table, a...),
-    b...)``. The streams keep separate normalization groups (counts and
+    b...)`` — exactly, because application is linear in the pre-scaled
+    rows. The streams keep separate normalization groups (counts and
     caps), which is the point: merging them into one mean would let the
     more numerous stream drown the other (see the w_out note in
-    ``models/sgns.py``). On TPU each stream's kernel touches only the
-    tiles its updates hit, so the combined table traffic stays near one
-    pass for typical (sparse-touch) streams.
+    ``models/sgns.py``). Group separation rides the composite sort key
+    ``id * 2 + stream`` (ids must stay < 2^30), so the per-group totals
+    fall out of the same searchsorted machinery as the one-stream case
+    and the combined stream makes a single pass over the touched tiles —
+    the dominant cost when both streams touch most of the table.
     """
     if not use_pallas:
         out = _apply_scatter(table, ids_a, upd_a, cnt_a, lr, cap_a)
         return _apply_scatter(out, ids_b, upd_b, cnt_b, lr, cap_b)
-    if rng_seed is None:
-        rng_seed = jnp.int32(0)
-    out = _pallas_apply_one(table, ids_a, upd_a, cnt_a, lr, cap_a, rng_seed)
-    return _pallas_apply_one(
-        out, ids_b, upd_b, cnt_b, lr, cap_b, rng_seed + 1
+    r_a, r_b = ids_a.shape[0], ids_b.shape[0]
+    if r_a + r_b == 0:
+        return table
+    keys = jnp.concatenate([ids_a * 2, ids_b * 2 + 1])
+    upd = jnp.concatenate(
+        [upd_a.astype(jnp.float32), upd_b.astype(jnp.float32)]
+    )
+    cnt = jnp.concatenate(
+        [cnt_a.astype(jnp.float32), cnt_b.astype(jnp.float32)]
+    )
+    order = jnp.argsort(keys)
+    keys_s = keys[order]
+    cnt_s = cnt[order]
+    cap_s = jnp.where((keys_s & 1) == 1, cap_b, cap_a)
+    scale = _sorted_scales(keys_s, cnt_s, lr, cap_s)
+    upd_s = upd[order] * scale[:, None]
+    return _finalize_and_run(
+        table, (keys_s >> 1).astype(jnp.int32), upd_s, rng_seed
     )
 
 
@@ -359,44 +383,3 @@ def apply_mean_updates(
     return _pallas_apply_one(table, ids, upd, cnt, lr, cap, rng_seed)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("use_pallas", "cap_a", "cap_b"),
-    donate_argnums=(0, 1),
-)
-def apply_mean_updates_same_ids(
-    table_a: jax.Array,
-    table_b: jax.Array,
-    ids: jax.Array,
-    upd_a: jax.Array,
-    cnt_a: jax.Array,
-    upd_b: jax.Array,
-    cnt_b: jax.Array,
-    lr: jax.Array,
-    use_pallas: bool = False,
-    cap_a: float = DEFAULT_UPDATE_CAP,
-    cap_b: float = DEFAULT_UPDATE_CAP,
-    rng_seed: jax.Array = None,
-):
-    """Two tables, one shared destination-id stream: sort once.
-
-    The SGNS step applies token-keyed updates to BOTH W_in (context
-    gradients) and W_out (center gradients) with the identical id vector
-    — sharing the argsort halves the sort cost of the token streams.
-    Results equal two independent ``apply_mean_updates`` calls.
-    """
-    if not use_pallas:
-        return (
-            _apply_scatter(table_a, ids, upd_a, cnt_a, lr, cap_a),
-            _apply_scatter(table_b, ids, upd_b, cnt_b, lr, cap_b),
-        )
-    if rng_seed is None:
-        rng_seed = jnp.int32(0)
-    order = jnp.argsort(ids)
-    out_a = _pallas_apply_one(
-        table_a, ids, upd_a, cnt_a, lr, cap_a, rng_seed, order=order
-    )
-    out_b = _pallas_apply_one(
-        table_b, ids, upd_b, cnt_b, lr, cap_b, rng_seed + 1, order=order
-    )
-    return out_a, out_b

@@ -8,7 +8,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pecanpy_tpu.ops.apply import apply_mean_updates
+from pecanpy_tpu.ops.apply import (
+    apply_mean_updates,
+    apply_mean_updates_two,
+)
 
 
 def reference(table, ids, upd, cnt, lr, cap):
@@ -34,6 +37,37 @@ def test_matches_reference(rng, cap):
     )
     expected = reference(table, ids, upd, cnt, 0.05, cap)
     np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-5, atol=1e-6)
+
+
+def test_two_streams_equal_sequential(rng):
+    """Merged two-stream application == applying the streams one by one
+    (linearity of the pre-scaled form; groups keep separate caps)."""
+    n, d = 40, 8
+    table = rng.normal(size=(n, d)).astype(np.float32)
+    r_a, r_b = 90, 30
+    ids_a = rng.integers(0, n, r_a).astype(np.int32)
+    upd_a = rng.normal(size=(r_a, d)).astype(np.float32)
+    cnt_a = rng.integers(0, 3, r_a).astype(np.float32)
+    ids_b = rng.integers(0, n, r_b).astype(np.int32)
+    upd_b = rng.normal(size=(r_b, d)).astype(np.float32)
+    cnt_b = rng.integers(0, 3, r_b).astype(np.float32)
+    lr = jnp.float32(0.05)
+    got = apply_mean_updates_two(
+        jnp.asarray(table), jnp.asarray(ids_a), jnp.asarray(upd_a),
+        jnp.asarray(cnt_a), jnp.asarray(ids_b), jnp.asarray(upd_b),
+        jnp.asarray(cnt_b), lr, cap_a=4.0, cap_b=1.0,
+    )
+    step1 = apply_mean_updates(
+        jnp.asarray(table), jnp.asarray(ids_a), jnp.asarray(upd_a),
+        jnp.asarray(cnt_a), lr, cap=4.0,
+    )
+    expected = apply_mean_updates(
+        step1, jnp.asarray(ids_b), jnp.asarray(upd_b),
+        jnp.asarray(cnt_b), lr, cap=1.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=2e-5, atol=1e-6
+    )
 
 
 def test_untouched_rows_unchanged(rng):
