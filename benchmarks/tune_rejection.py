@@ -15,7 +15,8 @@ import numpy as np
 sys.path.insert(0, ".")
 from bench_powerlaw import build_powerlaw_graph  # noqa: E402
 
-K = 8  # in-jit repetitions per dispatch
+K1, K2 = 8, 24  # per-config cost = slope between the two rep counts
+# (cancels the ~50-75 ms tunnel dispatch floor exactly)
 
 
 def main():
@@ -37,45 +38,53 @@ def main():
     )
     key = jax.random.PRNGKey(0)
 
+    # (FIRST_ROUND_TRIALS, FIRST_FRACTION, SWEEP_TRIALS, COMPACT_FRACTION)
     configs = [
-        (2, 16, 8),   # round-2 defaults (best of sweep 1)
-        (3, 16, 8),
-        (3, 16, 12),
-        (4, 16, 12),
-        (2, 16, 16),
-        (3, 12, 8),
+        (2, 2, 4, 8),   # compact-first defaults
+        (1, 2, 4, 8),
+        (2, 2, 2, 4),
+        (1, 2, 2, 4),
+        (2, 4, 4, 8),
+        (3, 2, 8, 8),
     ]
-    for t0, ts, frac in configs:
+    for t0, f0, ts, frac in configs:
         rejection.FIRST_ROUND_TRIALS = t0
+        rejection.FIRST_FRACTION = f0
         rejection.SWEEP_TRIALS = ts
         rejection.COMPACT_FRACTION = frac
 
-        @jax.jit
-        def run(g, cur, prev, key):
-            def body(i, carry):
-                cur, prev, acc = carry
-                cr = g.gather_rows(cur)
-                pr = g.gather_rows(prev)
-                active = g.rows_is_hub(cr) | g.rows_is_hub(pr)
-                nxt = rejection.second_order_sample(
-                    g, jax.random.fold_in(key, i), cur, prev, cr, pr,
-                    0.5, 2.0, False, active,
+        def make_run(k):
+            @jax.jit
+            def run(g, cur, prev, key):
+                def body(i, carry):
+                    cur, prev, acc = carry
+                    cr = g.gather_rows(cur)
+                    pr = g.gather_rows(prev)
+                    active = g.rows_is_hub(cr) | g.rows_is_hub(pr)
+                    nxt = rejection.second_order_sample(
+                        g, jax.random.fold_in(key, i), cur, prev, cr, pr,
+                        0.5, 2.0, False, active,
+                    )
+                    return cur, prev, acc + nxt  # same batch each rep
+                _, _, acc = jax.lax.fori_loop(
+                    0, k, body, (cur, prev, jnp.zeros_like(cur))
                 )
-                return cur, prev, acc + nxt  # same batch each rep
-            _, _, acc = jax.lax.fori_loop(
-                0, K, body, (cur, prev, jnp.zeros_like(cur))
-            )
-            return acc
+                return acc
+            return run
 
-        np.asarray(run(g, cur, prev, key))  # compile + warm
-        best = float("inf")
-        for i in range(3):
-            t1 = time.perf_counter()
-            np.asarray(run(g, cur, prev, jax.random.fold_in(key, i)))
-            best = min(best, time.perf_counter() - t1)
-        per = best / K
+        times = {}
+        for k in (K1, K2):
+            run = make_run(k)
+            np.asarray(run(g, cur, prev, key))  # compile + warm
+            best = float("inf")
+            for i in range(3):
+                t1 = time.perf_counter()
+                np.asarray(run(g, cur, prev, jax.random.fold_in(key, i)))
+                best = min(best, time.perf_counter() - t1)
+            times[k] = best
+        per = (times[K2] - times[K1]) / (K2 - K1)
         print(
-            f"T0={t0} Ts={ts} frac={frac}: {per * 1e3:7.1f} ms/step "
+            f"T0={t0} F0={f0} Ts={ts} frac={frac}: {per * 1e3:7.1f} ms/step "
             f"({b / per / 1e6:5.2f}M lanes/s)",
             flush=True,
         )

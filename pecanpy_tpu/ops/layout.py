@@ -65,20 +65,36 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-# Hub-table row shapes. Measured on v5e: gather throughput is
-# descriptor-rate-bound (~50M rows/s) and essentially independent of row
-# width from 8 to 256 lanes, so the tables stay at their natural narrow
-# widths; the one packing win kept is fusing the bucket keys and values
-# into a single 16-lane row (one gather per membership probe, not two).
+# Hub-table row shapes. Measured on v5e (slope-timed, round 2): random
+# row gathers are descriptor-rate-bound at ~73M rows/s for 8-lane rows
+# but ~115M rows/s for 64-lane rows — wider rows gather FASTER per
+# descriptor. Both hub tables therefore store SUPER-ROWS of 64 lanes:
+# 8 alias slots (8 lanes each) or 4 hash buckets (16 lanes each) per
+# stored row; a fetch gathers the super-row and mask-selects the logical
+# sub-row on the VPU. Memory is unchanged (pure reshape of the flat
+# table, padded to a whole super-row at the end).
 HB_WIDTH = 2 * hubs_lib.BUCKET_WIDTH  # 8 key lanes (int32 bitcast) + 8 vals
+SUPER_W = 64  # stored row width of both hub tables
+EP_SUPER = SUPER_W // hubs_lib.EP_WIDTH  # alias slots per stored row (8)
+HB_SUPER = SUPER_W // HB_WIDTH  # hash buckets per stored row (4)
+
+
+def _pack_super(rows: np.ndarray) -> np.ndarray:
+    """Host-side reshape of [R, w] logical rows into [*, 64] super-rows."""
+    r, w = rows.shape
+    per = SUPER_W // w
+    pad = (-r) % per
+    if pad:
+        rows = np.pad(rows, ((0, pad), (0, 0)))
+    return rows.reshape(-1, SUPER_W)
 
 
 def _empty_pack():
-    return jnp.empty((0, hubs_lib.EP_WIDTH), dtype=jnp.float32)
+    return jnp.empty((0, SUPER_W), dtype=jnp.float32)
 
 
 def _empty_buckets():
-    return jnp.empty((0, HB_WIDTH), dtype=jnp.float32)
+    return jnp.empty((0, SUPER_W), dtype=jnp.float32)
 
 
 @jax.tree_util.register_dataclass
@@ -186,28 +202,56 @@ class DeviceCSR:
 
     # -- hub-table lookups (one row gather each) ------------------------------
 
+    def _fetch_ep_super(self, row: jax.Array) -> jax.Array:
+        """[..., 64] edge_pack super-rows by stored-row index. The one
+        overridable primitive — the edge-partitioned layout replaces it
+        with a collective fetch (``parallel/distgraph.py``)."""
+        hi = max(self.edge_pack.shape[0] - 1, 0)
+        return self.edge_pack[jnp.clip(row, 0, hi)]
+
+    def _fetch_hb_super(self, row: jax.Array) -> jax.Array:
+        """[..., 64] hbuckets super-rows by stored-row index
+        (overridable, see ``_fetch_ep_super``)."""
+        hi = max(self.hbuckets.shape[0] - 1, 0)
+        return self.hbuckets[jnp.clip(row, 0, hi)]
+
     def fetch_edge_slots(self, slot: jax.Array) -> jax.Array:
         """[..., EP_WIDTH] resolved alias slot rows by global slot index.
 
         The proposal step of the rejection sampler (``ops/rejection.py``).
-        Overridden by the edge-partitioned layout with a collective fetch
-        (``parallel/distgraph.py``).
+        One 64-lane super-row gather (the fast-gather width) + a VPU
+        mask-select of the slot's 8-lane sub-row.
         """
-        hi = max(self.edge_pack.shape[0] - 1, 0)
-        return self.edge_pack[jnp.clip(slot, 0, hi)]
+        r = self._fetch_ep_super(slot // EP_SUPER)
+        # select in the INT32 domain: the rows carry int32 ids bitcast
+        # into float lanes, which are denormals a float add would flush
+        # to zero on TPU; integer adds keep every bit pattern intact
+        ri = jax.lax.bitcast_convert_type(r, jnp.int32).reshape(
+            *r.shape[:-1], EP_SUPER, hubs_lib.EP_WIDTH
+        )
+        sub = (slot % EP_SUPER)[..., None, None]
+        sel = jnp.arange(EP_SUPER, dtype=jnp.int32)[:, None] == sub
+        row_i = jnp.sum(jnp.where(sel, ri, 0), axis=-2)
+        return jax.lax.bitcast_convert_type(row_i, jnp.float32)
 
     def fetch_bucket(self, bucket: jax.Array):
         """(keys [..., 8] int32, vals [..., 8] f32) of one hash bucket.
 
-        One 16-lane gather serves both the key and value halves (the
-        logical hkey8/hval8 pair rides in one row), replacing the two
-        narrow gathers of the split layout.
+        One 64-lane super-row gather + VPU select of the bucket's 16-lane
+        sub-row; the key and value halves ride in the same sub-row.
         """
-        hi = max(self.hbuckets.shape[0] - 1, 0)
-        r = self.hbuckets[jnp.clip(bucket, 0, hi)]
+        r = self._fetch_hb_super(bucket // HB_SUPER)
+        # int32-domain select — see fetch_edge_slots for the FTZ hazard
+        ri = jax.lax.bitcast_convert_type(r, jnp.int32).reshape(
+            *r.shape[:-1], HB_SUPER, HB_WIDTH
+        )
+        sub = (bucket % HB_SUPER)[..., None, None]
+        sel = jnp.arange(HB_SUPER, dtype=jnp.int32)[:, None] == sub
+        row_i = jnp.sum(jnp.where(sel, ri, 0), axis=-2)
         w = hubs_lib.BUCKET_WIDTH
-        keys = jax.lax.bitcast_convert_type(r[..., :w], jnp.int32)
-        return keys, r[..., w:]
+        keys = row_i[..., :w]
+        vals = jax.lax.bitcast_convert_type(row_i[..., w:], jnp.float32)
+        return keys, vals
 
     # -- whole-table views (preprocessing / tests; not walk-hot) -------------
 
@@ -386,8 +430,8 @@ def build_device_csr(
             [hkey8.view(np.float32), hval8], axis=1
         )  # [NB, 16]
         hub_kwargs = dict(
-            edge_pack=jnp.asarray(edge_pack),
-            hbuckets=jnp.asarray(buckets),
+            edge_pack=jnp.asarray(_pack_super(edge_pack)),
+            hbuckets=jnp.asarray(_pack_super(buckets)),
         )
 
     channels_data = [("nbr", nbr_p), ("wgt", wgt_p)]

@@ -21,13 +21,23 @@ regardless of degree:
 This is the classic rejection formulation of second-order walks (used by
 CPU/GPU systems like KnightKing) recast for TPU. The batch dimension makes
 the naive loop-until-everyone-accepts catastrophic — the max of B~1e5
-geometric variables is ~30 rounds — so the sampler:
+geometric variables is ~30 rounds — and narrow-row gathers are
+descriptor-rate-bound (~30-50M rows/s), so EVERY lane in a trial batch
+costs real memory transactions whether or not it needs a sample. The
+sampler therefore never runs a full-batch round: lanes that need the
+rejection path are *compacted first* (scatter-free: a cumsum +
+searchsorted picks the first S pending lanes), and every phase runs on a
+fixed sub-batch:
 
-* draws ``T`` candidates per walker per round and keeps the first
-  accepted (iid trials, so still exact rejection);
-* after the first full-batch round, *compacts* the unaccepted lanes into
-  a 4x smaller sub-batch each ``while_loop`` sweep, so tail rounds cost a
-  fraction of a full round.
+* phase 1 handles up to B/2 lanes with a small trial count (typical hub
+  mixes put 30-50% of lanes on the rejection path, and the expected
+  trials per lane is ~1/accept ≈ 2);
+* a ``while_loop`` then re-compacts the survivors into B/8-lane sweeps
+  until the (psum-shared, for the sharded layout) pending count drains.
+
+The per-lane state the trial blocks need (the return-edge atom mass, the
+fused rows) is sliced per phase from the compacted index set, so no
+full-batch bucket probes happen anywhere.
 
 A safety cap bounds the loop for degenerate p/q; lanes still unaccepted
 at the cap keep their last proposal (probability <= (1-a)^(cap*T) —
@@ -48,13 +58,14 @@ _EPS = 1e-30
 _KNUTH = np.uint32(2654435761)  # plain numpy: no backend init at import
 
 # Knobs swept on v5e (benchmarks/tune_rejection.py, 1M-node Chung-Lu
-# mixed batch): sweeps dominate the cost, so round 0 stays lean (2
-# trials), the compacted sub-batch is small (B/8), and each sweep packs
-# 16 trials per lane to drain its queue in one pass. 84.5 -> 41.7 ms per
-# step vs the round-1 defaults (4, 8, 4).
-FIRST_ROUND_TRIALS = 2  # candidates per lane in the full-batch round
-SWEEP_TRIALS = 16  # candidates per lane in each compacted sweep
-COMPACT_FRACTION = 8  # sub-batch = B / COMPACT_FRACTION
+# mixed batch). Descriptor count is the cost model: a phase with S lanes
+# and T trials issues ~2*S*T narrow-row gathers, so phase 1 sizes to the
+# typical active fraction (~B/2 covers it) with few trials, and sweeps
+# re-compact the geometric tail into B/8 blocks.
+FIRST_ROUND_TRIALS = 2  # candidates per lane in the phase-1 blocks
+FIRST_FRACTION = 4  # phase-1 sub-batch = B / FIRST_FRACTION per group
+SWEEP_TRIALS = 4  # candidates per lane in each compacted sweep
+COMPACT_FRACTION = 16  # sweep sub-batch = B / COMPACT_FRACTION per group
 SWEEP_CAP = 256  # hard bound on while_loop sweeps (safety, never hit)
 
 
@@ -160,23 +171,31 @@ def membership(
     dg: DeviceCSR,
     x: jax.Array,
     prev_rows: jax.Array,
+    mode: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """(x in nbr(prev), w(prev, x)) — bucket probe or carried-row compare.
 
     The degree-independent replacement for the reference's sorted-merge
     ``isnotin`` / ``isnotin_extended`` (``sparse_rw.py:142-295``) for
     per-walker candidates. ``x`` may be [B] or [B, T].
+
+    ``mode`` (static): "auto" computes both paths and selects per lane;
+    "row" / "hub" run only the carried-row compare / only the hash-bucket
+    probe — for callers that pre-partition their lanes by prev-hubness,
+    which skips the bucket gather for row lanes and the [.., dpad]
+    compare for hub lanes (each costs real milliseconds at batch size).
     """
     batched = x.ndim == 2
-    pn = dg.rows_nbr(prev_rows)
-    pw = dg.rows_wgt(prev_rows)
-    if batched:
-        pn, pw = pn[:, None, :], pw[:, None, :]
-    eq = pn == x[..., None]
-    found_s = jnp.any(eq, axis=-1)
-    w_s = jnp.sum(jnp.where(eq, pw, 0.0), axis=-1)
-    if not dg.has_hubs:
-        return found_s, w_s
+    if mode == "row" or not dg.has_hubs:
+        pn = dg.rows_nbr(prev_rows)
+        pw = dg.rows_wgt(prev_rows)
+        if batched:
+            pn, pw = pn[:, None, :], pw[:, None, :]
+        eq = pn == x[..., None]
+        return (
+            jnp.any(eq, axis=-1),
+            jnp.sum(jnp.where(eq, pw, 0.0), axis=-1),
+        )
 
     hbase, hlog = dg.rows_hash_meta(prev_rows)
     if batched:
@@ -191,7 +210,10 @@ def membership(
     hit = keys == x[..., None]
     found_h = jnp.any(hit, axis=-1)
     w_h = jnp.sum(jnp.where(hit, vals, 0.0), axis=-1)
+    if mode == "hub":
+        return found_h, w_h
 
+    found_s, w_s = membership(dg, x, prev_rows, mode="row")
     is_hub = dg.rows_is_hub(prev_rows)
     if batched:
         is_hub = is_hub[:, None]
@@ -211,15 +233,16 @@ def _bias(
     p: float,
     q: float,
     extend: bool,
+    mode: str = "auto",
 ) -> jax.Array:
     """node2vec / node2vec+ bias factor alpha(x) for single candidates.
 
     Mirrors the fused kernels (``transition.node2vec_weights_rows`` /
     ``node2vec_plus_weights_rows``) evaluated per candidate. ``x`` may be
-    [B] or [B, T].
+    [B] or [B, T]. ``mode`` routes the membership test (see there).
     """
     batched = x.ndim == 2
-    found, wpx = membership(dg, x, prev_rows)
+    found, wpx = membership(dg, x, prev_rows, mode=mode)
     is_prev = x == (prev[:, None] if batched else prev)
     inv_q = 1.0 / q
     if not extend:
@@ -247,7 +270,7 @@ def _bias(
 
 def _trial_block(
     dg, key, prev, cur_rows, prev_rows, p, q, extend, alpha_np, trials,
-    theta=None, wp=None,
+    theta=None, wp=None, mode="auto",
 ):
     """T iid proposals per lane; return (first accepted or last, any ok).
 
@@ -256,7 +279,8 @@ def _trial_block(
     proposal is the previous node with probability theta and a
     first-order draw otherwise; x == prev always accepts (see module
     docstring — exactness verified against the plain construction).
-    Without the atom, alpha_np must also bound 1/p.
+    Without the atom, alpha_np must also bound 1/p. ``mode`` routes the
+    membership test (see ``membership``).
     """
     b = prev.shape[0]
     k_prop, k_acc, k_atom = jax.random.split(key, 3)
@@ -265,7 +289,9 @@ def _trial_block(
         atom = jax.random.uniform(k_atom, (b, trials)) < theta[:, None]
         x = jnp.where(atom, prev[:, None], x)
         wx = jnp.where(atom, wp[:, None], wx)
-    alpha = _bias(dg, x, wx, prev, cur_rows, prev_rows, p, q, extend)
+    alpha = _bias(
+        dg, x, wx, prev, cur_rows, prev_rows, p, q, extend, mode=mode
+    )
     accept = alpha / alpha_np
     if theta is not None:
         accept = jnp.where(x == prev[:, None], 1.0, accept)
@@ -274,6 +300,44 @@ def _trial_block(
     chosen_ok = sampling.pick_int_columns(x, first.astype(jnp.int32))
     chosen = jnp.where(jnp.any(ok, 1), chosen_ok, x[:, -1])
     return chosen, jnp.any(ok, 1)
+
+
+_CBLK = 128  # compaction block width (one fast row gather per query)
+
+
+def _compact_indices(pending: jax.Array, s: int):
+    """Indices of the first ``s`` pending lanes, scatter- and scan-free.
+
+    The lane holding the j-th pending slot is the searchsorted position
+    of j+1 in the (monotone) cumsum of the pending mask — but BOTH
+    ``jnp.searchsorted`` (log(B) serialized element-gather rounds) and a
+    scatter-built slot table cost milliseconds at walker-batch sizes on
+    TPU. Instead the cumsum reshapes to [B/128, 128] and the search runs
+    blocked: a broadcast compare against the per-block maxima picks the
+    block (pure VPU), one 128-lane ROW gather fetches it, and a second
+    broadcast compare picks the lane — two compares and one fast-path
+    row gather total.
+
+    Returns (idx [s] int32 clamped in-range, valid [s] bool).
+    """
+    b = pending.shape[0]
+    csum = jnp.cumsum(pending.astype(jnp.int32))
+    total = csum[-1]
+    pad = (-b) % _CBLK
+    if pad:
+        csum = jnp.pad(csum, (0, pad), constant_values=jnp.iinfo(jnp.int32).max)
+    c2 = csum.reshape(-1, _CBLK)
+    block_max = c2[:, -1]  # nondecreasing
+    j = jnp.arange(s, dtype=jnp.int32)
+    tgt = j + 1
+    blk = jnp.sum(
+        (block_max[None, :] < tgt[:, None]).astype(jnp.int32), axis=1
+    )
+    blk = jnp.minimum(blk, c2.shape[0] - 1)
+    rows = c2[blk]  # [s, 128] row gather
+    col = jnp.sum((rows < tgt[:, None]).astype(jnp.int32), axis=1)
+    idx = blk * _CBLK + jnp.minimum(col, _CBLK - 1)
+    return jnp.minimum(idx, b - 1), j < total
 
 
 def second_order_sample(
@@ -298,100 +362,128 @@ def second_order_sample(
     """
     b = cur.shape[0]
     alpha_np = max(1.0, 1.0 / q)  # bound over non-return candidates
-    excess = max(1.0 / p - alpha_np, 0.0)
-    if excess > 0.0:
-        # return-edge atom: propose x = prev with the exact mixture mass,
-        # removing the 1/p factor from the rejection bound
-        _, wp = membership(dg, prev, cur_rows)
-        wsum = jnp.sum(dg.rows_wgt(cur_rows), axis=-1)
-        if dg.has_hubs:
-            wsum = jnp.where(
-                dg.rows_is_hub(cur_rows), dg.rows_hub_wsum(cur_rows), wsum
-            )
-        theta = wp * excess / (wp * excess + alpha_np * jnp.maximum(wsum, _EPS))
-        wp_arr = wp
-    else:
-        theta, wp_arr = None, None
-
-    def sub(arr, idx):
-        return None if arr is None else arr[idx]
-
-    # round 0: full batch, T candidates each
-    x0, ok0 = _trial_block(
-        dg,
-        jax.random.fold_in(key, 0),
-        prev,
-        cur_rows,
-        prev_rows,
-        p,
-        q,
-        extend,
-        alpha_np,
-        FIRST_ROUND_TRIALS,
-        theta,
-        wp_arr,
-    )
-    nxt = jnp.where(active, x0, cur)
-    accepted = ~active | ok0
-
-    # compacted sweeps: only the unaccepted lanes, S = B / COMPACT_FRACTION
-    s = min(max(-(-b // COMPACT_FRACTION), 8), b)
-    lanes = jnp.arange(b, dtype=jnp.int32)
+    use_atom = (1.0 / p - alpha_np) > 0.0
+    # partition the rejection lanes by PREV-hubness: the "hub" group's
+    # membership test is a bucket probe only, the "row" group's a carried
+    # -row compare only — each group skips the other's cost (the bucket
+    # gather and the [.., dpad] compare are the two biggest terms of the
+    # unpartitioned trial block)
+    part = dg.has_hubs
 
     # When the hub tables are row-sharded (parallel/distgraph.py), every
     # fetch inside the sweep is a collective — all shards must take the
     # same number of sweeps or the collectives deadlock, so the loop
-    # condition is the psum-shared global pending count.
+    # condition is the psum-shared global pending count. The group split
+    # is static, so the collective schedule matches across shards.
     sync_axis = getattr(dg, "loop_sync_axis", None)
 
-    def pending_of(accepted):
-        n_pend = jnp.sum(~accepted)
+    def pending_of(*pendings):
+        n_pend = sum(jnp.sum(pnd) for pnd in pendings)
         if sync_axis is not None:
             n_pend = jax.lax.psum(n_pend, sync_axis)
         return n_pend
 
-    def cond(state):
-        # the count is computed in the body and carried (a collective in
-        # the cond itself would not lower under shard_map)
-        _, _, pend, t = state
+    def run_phase(nxt, pending, phase_key, s, trials, mode):
+        """One compacted trial phase over the first S pending lanes."""
+        idx, valid = _compact_indices(pending, s)
+        prev_i = prev[idx]
+        cr_i = cur_rows[idx]
+        pr_i = prev_rows[idx]
+        if use_atom:
+            # return-edge atom: propose x = prev with the exact mixture
+            # mass, removing the 1/p factor from the rejection bound.
+            # Computed on the compacted lanes only — the membership probe
+            # here asks "is prev a neighbor of CUR", so it routes by
+            # cur-hubness ("auto"), not the phase's prev mode.
+            excess = 1.0 / p - alpha_np
+            _, wp = membership(dg, prev_i, cr_i)
+            wsum = jnp.sum(dg.rows_wgt(cr_i), axis=-1)
+            if dg.has_hubs:
+                wsum = jnp.where(
+                    dg.rows_is_hub(cr_i), dg.rows_hub_wsum(cr_i), wsum
+                )
+            theta = (
+                wp * excess
+                / (wp * excess + alpha_np * jnp.maximum(wsum, _EPS))
+            )
+            wp_arr = wp
+        else:
+            theta, wp_arr = None, None
+        x_sub, ok_sub = _trial_block(
+            dg, phase_key, prev_i, cr_i, pr_i, p, q, extend,
+            alpha_np, trials, theta, wp_arr, mode=mode,
+        )
+        # every valid lane records its freshest proposal (pending lanes
+        # get overwritten by a later sweep; if the safety cap trips, the
+        # last proposal stands); accepted lanes leave the pending set
+        write_to = jnp.where(valid, idx, b)
+        nxt = nxt.at[write_to].set(x_sub, mode="drop")
+        clear_to = jnp.where(valid & ok_sub, idx, b)
+        pending = pending.at[clear_to].set(False, mode="drop")
+        return nxt, pending
+
+    s1 = min(max(-(-b // FIRST_FRACTION), 8), b)
+    s2 = min(max(-(-b // COMPACT_FRACTION), 8), b)
+
+    if not part:
+        # no hubs anywhere (compat path): single group, row membership
+        nxt, pending = run_phase(
+            cur, active, jax.random.fold_in(key, 0), s1,
+            FIRST_ROUND_TRIALS, "row",
+        )
+
+        def cond(state):
+            # the count is computed in the body and carried (a collective
+            # in the cond itself would not lower under shard_map)
+            _, _, pend, t = state
+            return (pend > 0) & (t < SWEEP_CAP)
+
+        def body(state):
+            nxt, pending, _, t = state
+            nxt, pending = run_phase(
+                nxt, pending, jax.random.fold_in(key, 1 + t), s2,
+                SWEEP_TRIALS, "row",
+            )
+            return nxt, pending, pending_of(pending), t + 1
+
+        nxt, pending, _, _ = jax.lax.while_loop(
+            cond, body, (nxt, pending, pending_of(pending), jnp.int32(0))
+        )
+        return nxt
+
+    prev_hub = dg.rows_is_hub(prev_rows)
+    pend_h = active & prev_hub
+    pend_n = active & ~prev_hub
+
+    # phase 1: each group gets an s1-lane compacted block
+    nxt, pend_h = run_phase(
+        cur, pend_h, jax.random.fold_in(key, 0), s1,
+        FIRST_ROUND_TRIALS, "hub",
+    )
+    nxt, pend_n = run_phase(
+        nxt, pend_n, jax.random.fold_in(key, 1), s1,
+        FIRST_ROUND_TRIALS, "row",
+    )
+
+    def cond2(state):
+        _, _, _, pend, t = state
         return (pend > 0) & (t < SWEEP_CAP)
 
-    def body(state):
-        nxt, accepted, _, t = state
-        unacc = ~accepted
-        pos = jnp.cumsum(unacc) - 1
-        slot_lane = (
-            jnp.zeros(b, dtype=jnp.int32)
-            .at[jnp.where(unacc, pos, b)]
-            .set(lanes, mode="drop")
+    def body2(state):
+        nxt, pend_h, pend_n, _, t = state
+        nxt, pend_h = run_phase(
+            nxt, pend_h, jax.random.fold_in(key, 2 + 2 * t), s2,
+            SWEEP_TRIALS, "hub",
         )
-        idx = slot_lane[:s]  # first S unaccepted lanes
-        valid = jnp.arange(s) < jnp.sum(unacc)
-
-        x_sub, ok_sub = _trial_block(
-            dg,
-            jax.random.fold_in(key, 1 + t),
-            prev[idx],
-            cur_rows[idx],
-            prev_rows[idx],
-            p,
-            q,
-            extend,
-            alpha_np,
-            SWEEP_TRIALS,
-            sub(theta, idx),
-            sub(wp_arr, idx),
+        nxt, pend_n = run_phase(
+            nxt, pend_n, jax.random.fold_in(key, 3 + 2 * t), s2,
+            SWEEP_TRIALS, "row",
         )
-        take = valid & ok_sub
-        scatter_to = jnp.where(take, idx, b)
-        nxt = nxt.at[scatter_to].set(x_sub, mode="drop")
-        accepted = accepted.at[scatter_to].set(True, mode="drop")
-        # safety-cap fallback: keep the freshest proposal
-        fb_to = jnp.where(valid & ~ok_sub & (t + 1 >= SWEEP_CAP), idx, b)
-        nxt = nxt.at[fb_to].set(x_sub, mode="drop")
-        return nxt, accepted, pending_of(accepted), t + 1
+        return nxt, pend_h, pend_n, pending_of(pend_h, pend_n), t + 1
 
-    nxt, accepted, _, _ = jax.lax.while_loop(
-        cond, body, (nxt, accepted, pending_of(accepted), jnp.int32(0))
+    nxt, pend_h, pend_n, _, _ = jax.lax.while_loop(
+        cond2,
+        body2,
+        (nxt, pend_h, pend_n, pending_of(pend_h, pend_n), jnp.int32(0)),
     )
     return nxt

@@ -120,20 +120,19 @@ class ShardedDeviceCSR(DeviceCSR):
         in-loop fetches are collectives here)."""
         return self.axis
 
-    def fetch_edge_slots(self, slot: jax.Array) -> jax.Array:
+    def _fetch_ep_super(self, row: jax.Array) -> jax.Array:
+        # super-row decode (slot -> sub-row select) lives in the base
+        # class; only the stored-row fetch is collective here
         n_shards = jax.lax.axis_size(self.axis)
-        slot = jnp.clip(slot, 0, max(self.ep_rows * n_shards - 1, 0))
+        row = jnp.clip(row, 0, max(self.ep_rows * n_shards - 1, 0))
         return _collective_fetch(
-            self.edge_pack, slot, self.ep_rows, self.axis
+            self.edge_pack, row, self.ep_rows, self.axis
         )
 
-    def fetch_bucket(self, bucket: jax.Array):
+    def _fetch_hb_super(self, row: jax.Array) -> jax.Array:
         n_shards = jax.lax.axis_size(self.axis)
-        bucket = jnp.clip(bucket, 0, max(self.hb_rows * n_shards - 1, 0))
-        r = _collective_fetch(self.hbuckets, bucket, self.hb_rows, self.axis)
-        w = hubs_lib.BUCKET_WIDTH
-        keys = jax.lax.bitcast_convert_type(r[..., :w], jnp.int32)
-        return keys, r[..., w:]
+        row = jnp.clip(row, 0, max(self.hb_rows * n_shards - 1, 0))
+        return _collective_fetch(self.hbuckets, row, self.hb_rows, self.axis)
 
     def gather_rows(self, idx: jax.Array) -> jax.Array:
         if self.exchange == "alltoall":

@@ -45,7 +45,8 @@ def test_edge_pack_alias_exact(rng):
     adj, g = hub_graph(rng)
     n = adj.shape[0]
     deg = np.asarray(g.deg)
-    pack = np.asarray(g.edge_pack)
+    # slot view of the 64-lane super-row storage (8 slots per stored row)
+    pack = np.asarray(g.edge_pack).reshape(-1, 8)
     packi = pack.view(np.int32)
     nbr = np.asarray(g.rows_nbr(g.fused))
     for u in np.nonzero(deg > CAP)[0]:
