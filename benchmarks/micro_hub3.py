@@ -106,19 +106,19 @@ def main():
     pr = g.gather_rows(prev)
 
     def alias_prop(g, cur, prev, k, cr, pr):
-        x, w = rejection.alias_propose(g, k, cr, (B,))
+        x, w = rejection.alias_propose(g, k, cr)
         return x + w.astype(jnp.int32)
 
     measure("alias_propose T=1                ", alias_prop, cr, pr)
 
     def fused_prop(g, cur, prev, k, cr, pr):
-        x, w = rejection.fused_propose(g, k, cr, (B,), False)
+        x, w = rejection.fused_propose(g, k, cr, False)
         return x + w.astype(jnp.int32)
 
     measure("fused_propose T=1                ", fused_prop, cr, pr)
 
     def both_prop(g, cur, prev, k, cr, pr):
-        x, w = rejection.propose(g, k, cr, (B,))
+        x, w = rejection.propose(g, k, cr)
         return x + w.astype(jnp.int32)
 
     measure("propose (both + select) T=1      ", both_prop, cr, pr)
@@ -167,6 +167,37 @@ def main():
         )
 
     measure("carried-row re-slice (s=B/2)     ", rowslice_only, cr, pr)
+
+    # --- full-step anatomy on this graph ----------------------------------
+    from pecanpy_tpu.ops import sampling, transition
+
+    def fused_only(g, cur, prev, k, cr, pr):
+        w = transition.node2vec_weights_rows(g, cr, pr, prev, 0.5, 2.0)
+        c = sampling.categorical_rows(k, w)
+        return sampling.pick_int_columns(g.rows_nbr(cr), c)
+
+    measure("fused kernel + sample (no gath)  ", fused_only, cr, pr)
+
+    def sampler_only(g, cur, prev, k, cr, pr):
+        active = g.rows_is_hub(cr) | g.rows_is_hub(pr)
+        return rejection.second_order_sample(
+            g, k, cur, prev, cr, pr, 0.5, 2.0, False, active
+        )
+
+    measure("second_order_sample (full)       ", sampler_only, cr, pr)
+
+    def full_step(g, cur, prev, k, cr, pr):
+        k1, k2 = jax.random.split(k)
+        w = transition.node2vec_weights_rows(g, cr, pr, prev, 0.5, 2.0)
+        c = sampling.categorical_rows(k1, w)
+        nxt = sampling.pick_int_columns(g.rows_nbr(cr), c)
+        active = g.rows_is_hub(cr) | g.rows_is_hub(pr)
+        nxt_r = rejection.second_order_sample(
+            g, k2, cur, prev, cr, pr, 0.5, 2.0, False, active
+        )
+        return jnp.where(active, nxt_r, nxt)
+
+    measure("mixed step (fused + rejection)   ", full_step, cr, pr)
 
 
 if __name__ == "__main__":

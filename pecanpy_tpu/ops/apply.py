@@ -299,6 +299,10 @@ def _pallas_apply_one(table, ids, upd, cnt, lr, cap, rng_seed):
     cnt_s = cnt[order].astype(jnp.float32)
     scale = _sorted_scales(ids_s, cnt_s, lr, cap)
     upd_s = upd[order].astype(jnp.float32) * scale[:, None]
+    if DOT_BF16:
+        # the kernel's dot casts the payload to bf16 anyway — shipping it
+        # bf16 halves the stream traffic and the per-visit payload DMA
+        upd_s = upd_s.astype(jnp.bfloat16)
     return _finalize_and_run(table, ids_s, upd_s, rng_seed)
 
 
@@ -353,6 +357,8 @@ def apply_mean_updates_two(
     cap_s = jnp.where((keys_s & 1) == 1, cap_b, cap_a)
     scale = _sorted_scales(keys_s, cnt_s, lr, cap_s)
     upd_s = upd[order] * scale[:, None]
+    if DOT_BF16:
+        upd_s = upd_s.astype(jnp.bfloat16)
     return _finalize_and_run(
         table, (keys_s >> 1).astype(jnp.int32), upd_s, rng_seed
     )

@@ -70,25 +70,21 @@ SWEEP_CAP = 256  # hard bound on while_loop sweeps (safety, never hit)
 
 
 def alias_propose(
-    dg: DeviceCSR, key: jax.Array, cur_rows: jax.Array, shape
+    dg: DeviceCSR, key: jax.Array, cur_rows: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """Hub-path proposal: one packed alias-row gather per candidate.
 
-    Args:
-        shape: candidate shape, either (B,) or (B, T).
-
-    Returns (x, w(cur, x)); only meaningful where the row is a hub.
+    Returns ([B] x, [B] w(cur, x)); only meaningful where the row is a
+    hub. (Strictly flat [B] shapes — a [B, T] trial axis would pay TPU
+    sublane padding on the tiny T dim; see ``_trial_block``.)
     """
     k_slot, k_acc = jax.random.split(key)
     deg = dg.rows_degree(cur_rows)
     base = dg.rows_edge_base(cur_rows)
-    if len(shape) == 2:
-        deg = deg[:, None]
-        base = base[:, None]
-    kk = jax.random.randint(k_slot, shape, 0, jnp.maximum(deg, 1))
+    kk = jax.random.randint(k_slot, deg.shape, 0, jnp.maximum(deg, 1))
     rows = dg.fetch_edge_slots(base + kk.astype(jnp.int32))
     take_self = (
-        jax.random.uniform(k_acc, shape) < rows[..., hubs_lib.EP_ACCEPT]
+        jax.random.uniform(k_acc, deg.shape) < rows[..., hubs_lib.EP_ACCEPT]
     )
     nbr_pair = jax.lax.bitcast_convert_type(
         rows[..., [hubs_lib.EP_NBR_SELF, hubs_lib.EP_NBR_ALIAS]], jnp.int32
@@ -103,7 +99,7 @@ def alias_propose(
 
 
 def fused_propose(
-    dg: DeviceCSR, key: jax.Array, cur_rows: jax.Array, shape, use_cdf: bool
+    dg: DeviceCSR, key: jax.Array, cur_rows: jax.Array, use_cdf: bool
 ) -> Tuple[jax.Array, jax.Array]:
     """Capped-row proposal from the carried fused row (pure VPU)."""
     if use_cdf:
@@ -111,18 +107,13 @@ def fused_propose(
     else:
         cdf = jnp.cumsum(dg.rows_wgt(cur_rows), axis=-1)
     total = cdf[:, -1:]
-    u = jax.random.uniform(key, shape, dtype=cdf.dtype)
-    if len(shape) == 2:
-        c = jnp.sum(cdf[:, None, :] < (u[..., None] * total[:, None]), -1)
-    else:
-        c = jnp.sum(cdf < u[:, None] * total, -1)
+    u = jax.random.uniform(key, (cdf.shape[0],), dtype=cdf.dtype)
+    c = jnp.sum(cdf < u[:, None] * total, -1)
     c = jnp.minimum(c, cdf.shape[-1] - 1)
     cols = jnp.arange(cdf.shape[-1], dtype=jnp.int32)
     onehot = cols == c[..., None]
     nbr = dg.rows_nbr(cur_rows)
     wgt = dg.rows_wgt(cur_rows)
-    if len(shape) == 2:
-        nbr, wgt = nbr[:, None, :], wgt[:, None, :]
     x = jnp.sum(jnp.where(onehot, nbr, 0), -1)
     w = jnp.sum(jnp.where(onehot, wgt, 0.0), -1)
     return x, w
@@ -132,20 +123,15 @@ def propose(
     dg: DeviceCSR,
     key: jax.Array,
     cur_rows: jax.Array,
-    shape=None,
     use_cdf: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """First-order draw x ~ w(cur, .), hub and capped paths combined."""
-    if shape is None:
-        shape = (cur_rows.shape[0],)
     k_hub, k_small = jax.random.split(key)
-    x_s, w_s = fused_propose(dg, k_small, cur_rows, shape, use_cdf)
+    x_s, w_s = fused_propose(dg, k_small, cur_rows, use_cdf)
     if not dg.has_hubs:
         return x_s, w_s
-    x_h, w_h = alias_propose(dg, k_hub, cur_rows, shape)
+    x_h, w_h = alias_propose(dg, k_hub, cur_rows)
     is_hub = dg.rows_is_hub(cur_rows)
-    if len(shape) == 2:
-        is_hub = is_hub[:, None]
     return jnp.where(is_hub, x_h, x_s), jnp.where(is_hub, w_h, w_s)
 
 
@@ -185,12 +171,9 @@ def membership(
     which skips the bucket gather for row lanes and the [.., dpad]
     compare for hub lanes (each costs real milliseconds at batch size).
     """
-    batched = x.ndim == 2
     if mode == "row" or not dg.has_hubs:
         pn = dg.rows_nbr(prev_rows)
         pw = dg.rows_wgt(prev_rows)
-        if batched:
-            pn, pw = pn[:, None, :], pw[:, None, :]
         eq = pn == x[..., None]
         return (
             jnp.any(eq, axis=-1),
@@ -198,8 +181,6 @@ def membership(
         )
 
     hbase, hlog = dg.rows_hash_meta(prev_rows)
-    if batched:
-        hbase, hlog = hbase[:, None], hlog[:, None]
     mask = (
         jnp.uint32(1) << jnp.clip(hlog, 0, 30).astype(jnp.uint32)
     ) - jnp.uint32(1)
@@ -215,8 +196,6 @@ def membership(
 
     found_s, w_s = membership(dg, x, prev_rows, mode="row")
     is_hub = dg.rows_is_hub(prev_rows)
-    if batched:
-        is_hub = is_hub[:, None]
     return (
         jnp.where(is_hub, found_h, found_s),
         jnp.where(is_hub, w_h, w_s),
@@ -238,12 +217,11 @@ def _bias(
     """node2vec / node2vec+ bias factor alpha(x) for single candidates.
 
     Mirrors the fused kernels (``transition.node2vec_weights_rows`` /
-    ``node2vec_plus_weights_rows``) evaluated per candidate. ``x`` may be
-    [B] or [B, T]. ``mode`` routes the membership test (see there).
+    ``node2vec_plus_weights_rows``) evaluated per candidate. ``x`` is
+    flat [B]. ``mode`` routes the membership test (see there).
     """
-    batched = x.ndim == 2
     found, wpx = membership(dg, x, prev_rows, mode=mode)
-    is_prev = x == (prev[:, None] if batched else prev)
+    is_prev = x == prev
     inv_q = 1.0 / q
     if not extend:
         return jnp.where(is_prev, 1.0 / p, jnp.where(found, 1.0, inv_q))
@@ -256,8 +234,6 @@ def _bias(
             dg.rows_hub_threshold(cur_rows),
             theta_cur,
         )
-    if batched:
-        theta_cur = theta_cur[:, None]
 
     loose = wpx < theta_x
     is_out = jnp.where(found, loose, True) & ~is_prev
@@ -268,11 +244,37 @@ def _bias(
     return jnp.where(is_prev, 1.0 / p, jnp.where(is_out, alpha_out, 1.0))
 
 
+def _single_trial(
+    dg, key, prev, cur_rows, prev_rows, p, q, extend, alpha_np,
+    theta, wp, mode,
+):
+    """One flat [B] proposal + accept test per lane."""
+    k_prop, k_acc, k_atom = jax.random.split(key, 3)
+    x, wx = propose(dg, k_prop, cur_rows)
+    if theta is not None:
+        atom = jax.random.uniform(k_atom, theta.shape) < theta
+        x = jnp.where(atom, prev, x)
+        wx = jnp.where(atom, wp, wx)
+    alpha = _bias(
+        dg, x, wx, prev, cur_rows, prev_rows, p, q, extend, mode=mode
+    )
+    accept = alpha / alpha_np
+    if theta is not None:
+        accept = jnp.where(x == prev, 1.0, accept)
+    ok = jax.random.uniform(k_acc, x.shape) < accept
+    return x, ok
+
+
 def _trial_block(
     dg, key, prev, cur_rows, prev_rows, p, q, extend, alpha_np, trials,
     theta=None, wp=None, mode="auto",
 ):
     """T iid proposals per lane; return (first accepted or last, any ok).
+
+    The T trials run as a STATIC Python loop of flat [B] evaluations —
+    a [B, T] trial axis looks natural but pays TPU sublane padding on
+    the tiny T dim (measured 2.3x the flat cost at T=2), while T
+    sequential flat blocks lay out clean and cost exactly T x one trial.
 
     ``alpha_np`` bounds the bias over non-return candidates
     (max(1, 1/q)). With the return-edge atom (``theta``/``wp`` set), a
@@ -282,24 +284,20 @@ def _trial_block(
     Without the atom, alpha_np must also bound 1/p. ``mode`` routes the
     membership test (see ``membership``).
     """
-    b = prev.shape[0]
-    k_prop, k_acc, k_atom = jax.random.split(key, 3)
-    x, wx = propose(dg, k_prop, cur_rows, (b, trials))
-    if theta is not None:
-        atom = jax.random.uniform(k_atom, (b, trials)) < theta[:, None]
-        x = jnp.where(atom, prev[:, None], x)
-        wx = jnp.where(atom, wp[:, None], wx)
-    alpha = _bias(
-        dg, x, wx, prev, cur_rows, prev_rows, p, q, extend, mode=mode
-    )
-    accept = alpha / alpha_np
-    if theta is not None:
-        accept = jnp.where(x == prev[:, None], 1.0, accept)
-    ok = jax.random.uniform(k_acc, (b, trials)) < accept
-    first = jnp.argmax(ok, axis=1)  # first True column (0 if none)
-    chosen_ok = sampling.pick_int_columns(x, first.astype(jnp.int32))
-    chosen = jnp.where(jnp.any(ok, 1), chosen_ok, x[:, -1])
-    return chosen, jnp.any(ok, 1)
+    chosen = None
+    for t in range(trials):
+        x_t, ok_t = _single_trial(
+            dg, jax.random.fold_in(key, t), prev, cur_rows, prev_rows,
+            p, q, extend, alpha_np, theta, wp, mode,
+        )
+        if chosen is None:
+            chosen, got = x_t, ok_t
+        else:
+            # first accepted wins; lanes with no accept yet track the
+            # freshest proposal (the safety-cap fallback)
+            chosen = jnp.where(~got, x_t, chosen)
+            got = got | ok_t
+    return chosen, got
 
 
 _CBLK = 128  # compaction block width (one fast row gather per query)

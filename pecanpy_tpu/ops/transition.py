@@ -76,12 +76,15 @@ def row_searchsorted(a: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def _locate_in_prev(cur_nbr: jax.Array, prev_nbr: jax.Array,
-                    prev_wgt: jax.Array):
+                    prev_wgt=None):
     """For each candidate x in cur's row, look x up in prev's row.
 
     Returns:
         found: [B, D] bool — x is a neighbor of prev.
-        prev_wgt_of: [B, D] float32 — w(prev, x), 0 where not found.
+        prev_wgt_of: [B, D] float32 — w(prev, x), 0 where not found —
+            or None when ``prev_wgt`` is None (plain node2vec needs only
+            membership; skipping the weight reduction avoids a second
+            [B, D, D] float pass, roughly half the kernel's VPU cost).
 
     TPU replacement for the sorted-merge ``isnotin`` / ``isnotin_extended``
     scans (``sparse_rw.py:142-295``): an all-pairs equality mask — for the
@@ -90,6 +93,8 @@ def _locate_in_prev(cur_nbr: jax.Array, prev_nbr: jax.Array,
     """
     eq = cur_nbr[:, :, None] == prev_nbr[:, None, :]  # [B, D, D]
     found = jnp.any(eq, axis=-1)
+    if prev_wgt is None:
+        return found, None
     prev_wgt_of = jnp.sum(jnp.where(eq, prev_wgt[:, None, :], 0.0), axis=-1)
     return found, prev_wgt_of
 
@@ -145,9 +150,7 @@ def node2vec_weights_rows(
     cur_nbr = graph.rows_nbr(cur_rows)[:, :d]
     w = graph.rows_wgt(cur_rows)[:, :d]
     prev_nbr = graph.rows_nbr(prev_rows)[:, :d]
-    found, _ = _locate_in_prev(
-        cur_nbr, prev_nbr, graph.rows_wgt(prev_rows)[:, :d]
-    )
+    found, _ = _locate_in_prev(cur_nbr, prev_nbr)
     is_prev = cur_nbr == prev[:, None]
     is_out = ~found & ~is_prev
     w = w * jnp.where(is_out, 1.0 / q, 1.0)

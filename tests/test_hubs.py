@@ -236,3 +236,23 @@ def test_scalar_move_forward_on_hub_graph(rng):
     assert adj[start, nxt] != 0
     nxt2 = move(nxt, start)
     assert adj[nxt, nxt2] != 0
+
+
+@pytest.mark.parametrize("b,s", [(64, 8), (300, 64), (1024, 128), (1000, 1000)])
+def test_compact_indices(rng, b, s):
+    """Blocked compaction == "indices of the first s pending lanes"."""
+    pending = jnp.asarray(rng.random(b) < 0.3)
+    idx, valid = rejection._compact_indices(pending, s)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    expected = np.nonzero(np.asarray(pending))[0]
+    k = min(s, expected.size)
+    np.testing.assert_array_equal(valid[:k], True)
+    np.testing.assert_array_equal(valid[k:], False)
+    np.testing.assert_array_equal(idx[:k], expected[:k])
+
+
+def test_compact_indices_empty(rng):
+    pending = jnp.zeros(100, dtype=bool)
+    idx, valid = rejection._compact_indices(pending, 16)
+    assert not np.asarray(valid).any()
+    assert (np.asarray(idx) < 100).all()
