@@ -52,7 +52,9 @@ def main():
     import functools
 
     @functools.partial(jax.jit, static_argnames=("s", "trials", "mode"))
-    def phase(pend, nxt, k, s, trials, mode):
+    def phase(g, cr, pr, prev, pend, nxt, k, s, trials, mode):
+        # graph + rows as ARGUMENTS: closing over them bakes the tables
+        # into the program as constants (blows the remote-compile upload)
         idx, valid = rejection._compact_indices(pend, s)
         prev_i = prev[idx]
         cr_i = cr[idx]
@@ -87,7 +89,8 @@ def main():
         ("n1", pend_n, "row", s1, rejection.FIRST_ROUND_TRIALS),
     ):
         pend, nxt, ok, tried = phase(
-            pend, nxt, jax.random.fold_in(key, t), s, trials, mode
+            g, cr, pr, prev, pend, nxt, jax.random.fold_in(key, t),
+            s, trials, mode,
         )
         print(
             f"phase {grp}: tried={int(tried)} accepted={int(ok)} "
@@ -106,7 +109,7 @@ def main():
             pend = pend_h if grp == "h" else pend_n
             mode = "hub" if grp == "h" else "row"
             pend, nxt, ok, tried = phase(
-                pend, nxt, jax.random.fold_in(key, t),
+                g, cr, pr, prev, pend, nxt, jax.random.fold_in(key, t),
                 s2, rejection.SWEEP_TRIALS, mode,
             )
             print(

@@ -40,12 +40,12 @@ def main():
 
     # (FIRST_ROUND_TRIALS, FIRST_FRACTION, SWEEP_TRIALS, COMPACT_FRACTION)
     configs = [
-        (2, 2, 4, 8),   # compact-first defaults
-        (1, 2, 4, 8),
-        (2, 2, 2, 4),
-        (1, 2, 2, 4),
-        (2, 4, 4, 8),
-        (3, 2, 8, 8),
+        (2, 4, 4, 16),  # current defaults
+        (2, 8, 4, 16),
+        (2, 8, 4, 32),
+        (2, 4, 4, 32),
+        (3, 4, 4, 16),
+        (1, 4, 4, 16),
     ]
     for t0, f0, ts, frac in configs:
         rejection.FIRST_ROUND_TRIALS = t0

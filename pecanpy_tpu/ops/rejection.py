@@ -381,32 +381,35 @@ def second_order_sample(
             n_pend = jax.lax.psum(n_pend, sync_axis)
         return n_pend
 
+    if use_atom:
+        # return-edge atom: propose x = prev with the exact mixture
+        # mass, removing the 1/p factor from the rejection bound.
+        # Computed ONCE over the full batch (one membership probe of
+        # "is prev a neighbor of CUR", routed by cur-hubness) — phases
+        # slice it; per-phase recompute would repeat the probe every
+        # sweep iteration.
+        excess = 1.0 / p - alpha_np
+        _, wp_full = membership(dg, prev, cur_rows)
+        wsum = jnp.sum(dg.rows_wgt(cur_rows), axis=-1)
+        if dg.has_hubs:
+            wsum = jnp.where(
+                dg.rows_is_hub(cur_rows), dg.rows_hub_wsum(cur_rows), wsum
+            )
+        theta_full = (
+            wp_full * excess
+            / (wp_full * excess + alpha_np * jnp.maximum(wsum, _EPS))
+        )
+    else:
+        theta_full, wp_full = None, None
+
     def run_phase(nxt, pending, phase_key, s, trials, mode):
         """One compacted trial phase over the first S pending lanes."""
         idx, valid = _compact_indices(pending, s)
         prev_i = prev[idx]
         cr_i = cur_rows[idx]
         pr_i = prev_rows[idx]
-        if use_atom:
-            # return-edge atom: propose x = prev with the exact mixture
-            # mass, removing the 1/p factor from the rejection bound.
-            # Computed on the compacted lanes only — the membership probe
-            # here asks "is prev a neighbor of CUR", so it routes by
-            # cur-hubness ("auto"), not the phase's prev mode.
-            excess = 1.0 / p - alpha_np
-            _, wp = membership(dg, prev_i, cr_i)
-            wsum = jnp.sum(dg.rows_wgt(cr_i), axis=-1)
-            if dg.has_hubs:
-                wsum = jnp.where(
-                    dg.rows_is_hub(cr_i), dg.rows_hub_wsum(cr_i), wsum
-                )
-            theta = (
-                wp * excess
-                / (wp * excess + alpha_np * jnp.maximum(wsum, _EPS))
-            )
-            wp_arr = wp
-        else:
-            theta, wp_arr = None, None
+        theta = None if theta_full is None else theta_full[idx]
+        wp_arr = None if wp_full is None else wp_full[idx]
         x_sub, ok_sub = _trial_block(
             dg, phase_key, prev_i, cr_i, pr_i, p, q, extend,
             alpha_np, trials, theta, wp_arr, mode=mode,
