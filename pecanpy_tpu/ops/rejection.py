@@ -65,7 +65,7 @@ _KNUTH = np.uint32(2654435761)  # plain numpy: no backend init at import
 FIRST_ROUND_TRIALS = 2  # candidates per lane in the phase-1 blocks
 FIRST_FRACTION = 4  # phase-1 sub-batch = B / FIRST_FRACTION per group
 SWEEP_TRIALS = 4  # candidates per lane in each compacted sweep
-COMPACT_FRACTION = 16  # sweep sub-batch = B / COMPACT_FRACTION per group
+COMPACT_FRACTION = 32  # sweep sub-batch = B / COMPACT_FRACTION per group
 SWEEP_CAP = 256  # hard bound on while_loop sweeps (safety, never hit)
 
 
