@@ -15,6 +15,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, ".")  # run as: python benchmarks/bench_powerlaw.py
+
 
 def build_powerlaw_graph(n, avg_deg=16, exponent=2.2, seed=0):
     """Chung-Lu heavy-tail graph as a sorted CSR triple."""
@@ -49,11 +51,13 @@ def main():
     from pecanpy_tpu.ops import rejection, sampling, transition
     from pecanpy_tpu.ops.layout import build_device_csr
 
+    import os
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     exponent = float(sys.argv[2]) if len(sys.argv) > 2 else 2.2
     p, q = 0.5, 2.0
-    walkers = 131_072
-    walk_length = 80
+    walkers = int(os.environ.get("BENCH_WALKERS", 131_072))
+    walk_length = int(os.environ.get("BENCH_WALK_LENGTH", 80))
     cap = 128
 
     print(f"building {n}-node power-law graph...", file=sys.stderr)
@@ -73,28 +77,49 @@ def main():
         file=sys.stderr,
     )
 
-    @jax.jit
-    def run(g, starts, key):
-        def first_fn(k, cur, cur_rows):
-            x, _ = rejection.propose(g, k, cur_rows)
-            return x
+    import os
 
-        def step_fn(k, cur, prev, cur_rows, prev_rows):
-            k_f, k_r = jax.random.split(k)
-            w = transition.node2vec_weights_rows(
-                g, cur_rows, prev_rows, prev, p, q
-            )
-            c = sampling.categorical_rows(k_f, w)
-            nxt = sampling.pick_int_columns(g.rows_nbr(cur_rows), c)
-            use_rej = g.rows_is_hub(cur_rows) | g.rows_is_hub(prev_rows)
-            nxt_rej = rejection.second_order_sample(
-                g, k_r, cur, prev, cur_rows, prev_rows, p, q, False, use_rej
-            )
-            return jnp.where(use_rej, nxt_rej, nxt)
+    legacy = os.environ.get("POWERLAW_ENGINE", "amortized") == "per-step"
+    trials = int(os.environ.get("PECANPY_TPU_AMORTIZED_TRIALS", "1"))
+    print(
+        f"engine: {'per-step sampler' if legacy else 'amortized'}"
+        + ("" if legacy else f" (trials={trials})"),
+        file=sys.stderr,
+    )
 
-        return engine.generate_walks(
-            g, first_fn, step_fn, starts, key, walk_length
-        )
+    if legacy:
+
+        @jax.jit
+        def run(g, starts, key):
+            def first_fn(k, cur, cur_rows):
+                x, _ = rejection.propose(g, k, cur_rows)
+                return x
+
+            def step_fn(k, cur, prev, cur_rows, prev_rows):
+                k_f, k_r = jax.random.split(k)
+                w = transition.node2vec_weights_rows(
+                    g, cur_rows, prev_rows, prev, p, q
+                )
+                c = sampling.categorical_rows(k_f, w)
+                nxt = sampling.pick_int_columns(g.rows_nbr(cur_rows), c)
+                use_rej = g.rows_is_hub(cur_rows) | g.rows_is_hub(prev_rows)
+                nxt_rej = rejection.second_order_sample(
+                    g, k_r, cur, prev, cur_rows, prev_rows, p, q, False,
+                    use_rej,
+                )
+                return jnp.where(use_rej, nxt_rej, nxt)
+
+            return engine.generate_walks(
+                g, first_fn, step_fn, starts, key, walk_length
+            )
+
+    else:
+
+        @jax.jit
+        def run(g, starts, key):
+            return engine.generate_walks_amortized(
+                g, starts, key, walk_length, p, q, False, trials=trials
+            )
 
     rng = np.random.default_rng(0)
     starts = jnp.asarray(rng.integers(0, n, walkers, dtype=np.int32))

@@ -160,23 +160,34 @@ class Base(BaseGraph):
 
     # -- walk driver ---------------------------------------------------------
 
+    def _make_walk_runner(self, walk_length: int):
+        """Build the (dg, aux, start, key) -> (walks, eff) walk callable.
+
+        Default: the shared scan engine over this mode's step functions.
+        Modes may override to pick a different engine (the OTF modes route
+        hub graphs through ``engine.generate_walks_amortized``).
+        """
+        first_fn, step_fn = self.make_step_fns()
+
+        def run(dg, aux, start, key):
+            return engine.generate_walks(
+                dg,
+                lambda k, cur, rows: first_fn(dg, aux, k, cur, rows),
+                lambda k, cur, prev, cr, pr: step_fn(
+                    dg, aux, k, cur, prev, cr, pr
+                ),
+                start,
+                key,
+                walk_length,
+            )
+
+        return run
+
     def _get_walk_fn(self, walk_length: int):
         if walk_length not in self._walk_fn_cache:
-            first_fn, step_fn = self.make_step_fns()
-
-            def run(dg, aux, start, key):
-                return engine.generate_walks(
-                    dg,
-                    lambda k, cur, rows: first_fn(dg, aux, k, cur, rows),
-                    lambda k, cur, prev, cr, pr: step_fn(
-                        dg, aux, k, cur, prev, cr, pr
-                    ),
-                    start,
-                    key,
-                    walk_length,
-                )
-
-            self._walk_fn_cache[walk_length] = jax.jit(run)
+            self._walk_fn_cache[walk_length] = jax.jit(
+                self._make_walk_runner(walk_length)
+            )
         return self._walk_fn_cache[walk_length]
 
     def _seed(self) -> int:

@@ -34,6 +34,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
+from pecanpy_tpu.ops import rejection
 from pecanpy_tpu.ops.layout import DeviceCSR
 
 FirstFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
@@ -100,3 +101,150 @@ def generate_walks(
         [start[:, None], col1[:, None], cols.T.astype(jnp.int32)], axis=1
     )
     return walks, eff_len
+
+
+def generate_walks_amortized(
+    graph: DeviceCSR,
+    start: jax.Array,
+    key: jax.Array,
+    walk_length: int,
+    p: float,
+    q: float,
+    extend: bool,
+    trials: int = 1,
+    round_cap_factor: int = 40,
+) -> Tuple[jax.Array, jax.Array]:
+    """Hub-graph OTF walker amortizing rejection retries ACROSS steps.
+
+    The per-step rejection sampler (``ops/rejection.second_order_sample``)
+    must drain the slowest lane before any walker advances: the max of B
+    geometric retry counts forces compaction phases plus a ``while_loop``
+    of small sweeps inside EVERY step — a ~10-dispatch serial chain of
+    tiny ops per step that dominates the measured step time. This engine
+    removes the per-step barrier instead of fighting it: each round every
+    walker runs ONE flat full-batch trial (propose -> bias -> accept) and
+    a lane that fails simply stays put and retries next round with fresh
+    randomness while its neighbors advance. A walker needs
+    sum_j Geom_j(accept) rounds for L steps — a SUM of geometrics, whose
+    max over ~1e5 lanes concentrates at ~L/a + O(sqrt(L)) — so the whole
+    walk costs ~L/a wide, shallow rounds with no compaction anywhere.
+
+    Every lane advances by rejection here, hub or not: a non-hub proposal
+    is a pure-VPU draw on the carried fused row and its membership test a
+    carried-row compare, so the only price over the fused kernel is the
+    ~1/a round inflation — far cheaper than the [B, D, D] all-pairs
+    membership the fused kernel pays per step (a rejection trial tests
+    ONE candidate: [B, D]).
+
+    Walk semantics (start column, early termination, effective lengths,
+    resting emission) match ``generate_walks``; the sampled law is the
+    same exact second-order distribution — including the return-edge atom
+    construction that removes 1/p from the rejection bound
+    (``ops/rejection.py`` module docstring; distributional tests in
+    ``tests/test_hubs.py``).
+
+    Args:
+        trials: proposals per lane per round (1 keeps rounds cheapest;
+            the geometric tail is absorbed by stalling, not by retrying
+            within the round).
+        round_cap_factor: safety bound — at most ``L * factor + 64``
+            rounds; lanes still short of L columns then emit their
+            resting node (reachable only at pathological p/q).
+    """
+    b = start.shape[0]
+    sentinel = graph.num_nodes
+    alpha_np = max(1.0, 1.0 / q)  # bound over non-return candidates
+    excess = 1.0 / p - alpha_np
+    use_atom = excess > 0.0
+
+    key_first, key_rounds = jax.random.split(key)
+    start_rows = graph.gather_rows(start)
+    alive0 = graph.rows_nbr(start_rows)[:, 0] != sentinel
+    first, _ = rejection.propose(graph, key_first, start_rows)
+    col1 = jnp.where(alive0, first, start)
+    eff0 = jnp.where(alive0, walk_length + 1, 1).astype(jnp.int32)
+    if walk_length == 1:
+        return jnp.stack([start, col1], axis=1), eff0
+
+    col1_rows = graph.gather_rows(col1)
+    has1 = graph.rows_nbr(col1_rows)[:, 0] != sentinel
+    eff = jnp.where(alive0 & ~has1, 2, eff0)
+    alive = alive0 & has1
+
+    buf = jnp.zeros((b, walk_length + 1), dtype=jnp.int32)
+    buf = buf.at[:, 0].set(start).at[:, 1].set(col1)
+
+    def atom_state(prev, cur_rows):
+        """Return-edge atom mass for each (cur, prev) pair, on arrival."""
+        _, wp = rejection.membership(graph, prev, cur_rows)
+        wsum = jnp.sum(graph.rows_wgt(cur_rows), axis=-1)
+        if graph.has_hubs:
+            wsum = jnp.where(
+                graph.rows_is_hub(cur_rows),
+                graph.rows_hub_wsum(cur_rows),
+                wsum,
+            )
+        theta = (
+            wp * excess
+            / (wp * excess + alpha_np * jnp.maximum(wsum, rejection._EPS))
+        )
+        return theta, wp
+
+    if use_atom:
+        theta, wp = atom_state(start, col1_rows)
+    else:
+        theta = wp = jnp.zeros((b,), dtype=jnp.float32)
+
+    lanes = jnp.arange(b, dtype=jnp.int32)
+    step0 = jnp.full((b,), 2, dtype=jnp.int32)
+    round_cap = walk_length * round_cap_factor + 64
+
+    def pending_count(alive, step):
+        return jnp.sum((alive & (step <= walk_length)).astype(jnp.int32))
+
+    def cond(state):
+        pending, t = state[-2], state[-1]
+        return (pending > 0) & (t < round_cap)
+
+    def body(state):
+        (cur, prev, cur_rows, prev_rows, step, alive, eff, buf,
+         theta, wp, _, t) = state
+        rkey = jax.random.fold_in(key_rounds, t)
+        needs = alive & (step <= walk_length)
+        x, ok = rejection._trial_block(
+            graph, rkey, prev, cur_rows, prev_rows, p, q, extend,
+            alpha_np, trials,
+            theta if use_atom else None, wp if use_atom else None,
+            mode="auto",
+        )
+        adv = needs & ok
+        col = jnp.where(adv, step, walk_length + 1)
+        buf = buf.at[lanes, col].set(x, mode="drop")
+        new_cur = jnp.where(adv, x, cur)
+        new_prev = jnp.where(adv, cur, prev)
+        nxt_rows = graph.gather_rows(new_cur)  # THE one gather per round
+        new_prev_rows = jnp.where(adv[:, None], cur_rows, prev_rows)
+        step = step + adv.astype(jnp.int32)
+        # arrival check: stepping onto a neighborless node ends the walk,
+        # recording the effective length (same contract as the scan engine)
+        has = graph.rows_nbr(nxt_rows)[:, 0] != sentinel
+        died = adv & ~has & (step <= walk_length)
+        eff = jnp.where(died, step, eff)
+        alive = alive & ~died
+        if use_atom:
+            theta_n, wp_n = atom_state(new_prev, nxt_rows)
+            theta = jnp.where(adv, theta_n, theta)
+            wp = jnp.where(adv, wp_n, wp)
+        return (new_cur, new_prev, nxt_rows, new_prev_rows, step, alive,
+                eff, buf, theta, wp, pending_count(alive, step), t + 1)
+
+    state = (col1, start, col1_rows, start_rows, step0, alive, eff, buf,
+             theta, wp, pending_count(alive, step0), jnp.int32(0))
+    state = jax.lax.while_loop(cond, body, state)
+    cur, step, eff, buf = state[0], state[4], state[6], state[7]
+    # resting emission: columns past the effective length (or past a
+    # safety-cap truncation) repeat the walker's final node
+    cols = jnp.arange(walk_length + 1, dtype=jnp.int32)[None, :]
+    fill_from = jnp.minimum(eff, step)[:, None]
+    walks = jnp.where(cols < fill_from, buf, cur[:, None])
+    return walks, eff

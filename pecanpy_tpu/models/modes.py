@@ -11,10 +11,13 @@ previous nodes (threaded through the scan carry by the engine) and must not
 touch the node table again — keeping every mode at one gather per step
 (plus one per-edge-table gather for PreComp).
 """
+import os
+
 import jax
 import jax.numpy as jnp
 
 from pecanpy_tpu.graph import DenseGraph, SparseGraph
+from pecanpy_tpu.models import engine
 from pecanpy_tpu.models.base import Base
 from pecanpy_tpu.ops import rejection, sampling, transition
 from pecanpy_tpu.ops.layout import (
@@ -94,7 +97,35 @@ def _otf_step_fns(p: float, q: float, extend: bool):
     return first_fn, step_fn
 
 
-class SparseOTF(_SparseModeBase):
+class _AmortizedOTFMixin:
+    """Routes hub graphs through the stall-round amortized walker.
+
+    ``engine.generate_walks_amortized`` replaces the per-step rejection
+    sampler's compaction sweeps with cross-step stalling — measured much
+    faster on power-law graphs, identical transition law. Graphs without
+    hubs keep the pure fused scan engine (faster when no lane ever
+    stalls). ``PECANPY_TPU_AMORTIZED=0`` forces the per-step sampler
+    (benchmark comparisons / debugging).
+    """
+
+    def _make_walk_runner(self, walk_length: int):
+        use_amortized = self.get_device_graph().has_hubs
+        if os.environ.get("PECANPY_TPU_AMORTIZED", "1") in ("0", "false"):
+            use_amortized = False
+        if not use_amortized:
+            return super()._make_walk_runner(walk_length)
+        p, q, extend = self.p, self.q, self.extend
+        trials = int(os.environ.get("PECANPY_TPU_AMORTIZED_TRIALS", "1"))
+
+        def run(dg, aux, start, key):
+            return engine.generate_walks_amortized(
+                dg, start, key, walk_length, p, q, extend, trials=trials
+            )
+
+        return run
+
+
+class SparseOTF(_AmortizedOTFMixin, _SparseModeBase):
     """Compute 2nd-order probabilities on the fly each step (default mode).
 
     Reference: ``pecanpy.py:510-561``.
@@ -104,7 +135,7 @@ class SparseOTF(_SparseModeBase):
         return _otf_step_fns(self.p, self.q, self.extend)
 
 
-class DenseOTF(_DenseModeBase):
+class DenseOTF(_AmortizedOTFMixin, _DenseModeBase):
     """OTF walking from a dense adjacency input.
 
     Reference: ``pecanpy.py:564-614``. Same transition law as SparseOTF —

@@ -158,6 +158,74 @@ def test_hub_second_order_distribution(p, q, extend, gamma, rng):
     assert checked >= 3, "not enough high-count transitions to test"
 
 
+def test_hub_second_order_distribution_per_step_sampler(rng, monkeypatch):
+    """The per-step rejection sampler (the sharded walker's path) stays
+    distributionally exact with the amortized engine forced off."""
+    monkeypatch.setenv("PECANPY_TPU_AMORTIZED", "0")
+    p, q = 0.5, 2.0
+    adj = oracle.random_graph(rng, 8, mean_degree=5.0, weighted=True)
+    ids = [str(i) for i in range(8)]
+    g = pecanpy.SparseOTF.from_mat(
+        adj, ids, p=p, q=q, random_state=7, degree_cap=CAP
+    )
+    walks, eff = g.simulate_walks_device(num_walks=700, walk_length=4)
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    counts = {}
+    for row, m in zip(walks, eff):
+        for j in range(2, m):
+            counts.setdefault((row[j - 2], row[j - 1]), []).append(row[j])
+    checked = 0
+    for (prev, cur), nxts in counts.items():
+        if len(nxts) < 400:
+            continue
+        nbrs = np.nonzero(adj[cur])[0]
+        expected = oracle.node2vec_probs(adj, cur, prev, p, q)
+        freq = np.array([(np.array(nxts) == nb).mean() for nb in nbrs])
+        np.testing.assert_allclose(
+            freq, expected, atol=4.5 * np.sqrt(0.25 / len(nxts))
+        )
+        checked += 1
+    assert checked >= 3
+
+
+def test_amortized_walks_deterministic(rng):
+    """Same seed -> identical walks through the stall-round engine."""
+    adj = oracle.random_graph(rng, 12, mean_degree=8.0, weighted=True)
+    ids = [str(i) for i in range(12)]
+    outs = []
+    for _ in range(2):
+        g = pecanpy.SparseOTF.from_mat(
+            adj, ids, p=0.5, q=2.0, random_state=3, degree_cap=CAP
+        )
+        walks, eff = g.simulate_walks_device(3, 6)
+        outs.append((np.asarray(walks), np.asarray(eff)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_amortized_early_termination(rng):
+    """Walkers hitting a sink stop with the right effective length and
+    resting emission (the scan engine's contract)."""
+    n = 9
+    adj = oracle.random_graph(rng, n, mean_degree=5.0, weighted=True)
+    adj[n - 1, :] = 0  # sink: edges in, none out
+    ids = [str(i) for i in range(n)]
+    g = pecanpy.SparseOTF.from_mat(
+        adj, ids, p=0.5, q=2.0, random_state=5, degree_cap=CAP
+    )
+    walks, eff = g.simulate_walks_device(40, 6)
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    hit_sink = False
+    for row, m in zip(walks, eff):
+        for a, b in zip(row[: m - 1], row[1:m]):
+            assert adj[a, b] != 0, f"non-edge {a}->{b}"
+        if m <= 6:
+            hit_sink = True
+            assert adj[row[m - 1]].sum() == 0  # stopped at a sink
+            assert (row[m:] == row[m - 1]).all()  # resting emission
+    assert hit_sink, "fixture never reached the sink"
+
+
 def test_hub_walks_follow_edges(rng):
     for mode_cls, weighted in [
         (pecanpy.SparseOTF, True),
