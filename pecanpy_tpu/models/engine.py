@@ -199,8 +199,17 @@ def generate_walks_amortized(
     step0 = jnp.full((b,), 2, dtype=jnp.int32)
     round_cap = walk_length * round_cap_factor + 64
 
+    # Edge-partitioned graphs (parallel/distgraph.py) fetch rows through
+    # collectives — every shard must take the same number of rounds, so
+    # the loop condition is the psum-shared global pending count (the
+    # round body itself has a uniform collective schedule).
+    sync_axis = getattr(graph, "loop_sync_axis", None)
+
     def pending_count(alive, step):
-        return jnp.sum((alive & (step <= walk_length)).astype(jnp.int32))
+        n_pend = jnp.sum((alive & (step <= walk_length)).astype(jnp.int32))
+        if sync_axis is not None:
+            n_pend = jax.lax.psum(n_pend, sync_axis)
+        return n_pend
 
     def cond(state):
         pending, t = state[-2], state[-1]

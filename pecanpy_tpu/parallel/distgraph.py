@@ -365,6 +365,12 @@ def distributed_walk_fn(
             def step_fn(k, cur, prev, cur_rows, prev_rows):
                 return s0(dg, (), k, cur, prev, cur_rows, prev_rows)
 
+        if mode != "FirstOrderUnweighted" and dg.has_hubs:
+            # hub graphs: the stall-round amortized walker (the psum-
+            # synced loop count keeps the collective schedule uniform)
+            return engine.generate_walks_amortized(
+                dg, starts_local, key, walk_length, p, q, extend
+            )
         return engine.generate_walks(
             dg, first_fn, step_fn, starts_local, key, walk_length
         )

@@ -93,6 +93,13 @@ class MultichipTrainer:
         )
 
     def _walk(self, graph, starts, key):
+        if self.mode in ("SparseOTF", "DenseOTF") and graph.has_hubs:
+            # hub graphs: stall-round amortized walker (replicated graph
+            # -> local gathers, per-shard loop counts may diverge freely)
+            return engine.generate_walks_amortized(
+                graph, starts, key, self.walk_length,
+                self.p, self.q, self.extend,
+            )
         first_fn, step_fn = self._step_fns()
         return engine.generate_walks(
             graph,
