@@ -67,6 +67,9 @@ def run_config(label, config_kwargs, disable_applies=False):
                 0, g_hi, 0,
             )
 
+        # the span step donates its table args: chain outputs back in so
+        # no buffer is ever passed twice (donated-buffer reuse is a hard
+        # error on TPU)
         w1, w2 = dispatch(w_in, w_out, n_chunks)
         np.asarray(w1[0, :1])
         times = {}
@@ -74,8 +77,8 @@ def run_config(label, config_kwargs, disable_applies=False):
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                o1, o2 = dispatch(w_in, w_out, g_hi)
-                np.asarray(o1[0, :1])
+                w1, w2 = dispatch(w1, w2, g_hi)
+                np.asarray(w1[0, :1])
                 best = min(best, time.perf_counter() - t0)
             times[g_hi] = best
         per = (times[n_chunks] - times[4]) / (n_chunks - 4)

@@ -132,7 +132,7 @@ def main():
     measure("membership (bucket + fused)      ", member, cr, pr)
 
     def trial1(g, cur, prev, k, cr, pr):
-        x, ok = rejection._trial_block(
+        x, ok, _ = rejection._trial_block(
             g, k, prev, cr, pr, 0.5, 2.0, False, 1.0, 1
         )
         return x + ok.astype(jnp.int32)
@@ -140,7 +140,7 @@ def main():
     measure("_trial_block T=1                 ", trial1, cr, pr)
 
     def trial2(g, cur, prev, k, cr, pr):
-        x, ok = rejection._trial_block(
+        x, ok, _ = rejection._trial_block(
             g, k, prev, cr, pr, 0.5, 2.0, False, 1.0, 2
         )
         return x + ok.astype(jnp.int32)

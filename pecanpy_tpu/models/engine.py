@@ -113,7 +113,9 @@ def generate_walks_amortized(
     extend: bool,
     trials: int = 1,
     round_cap_factor: int = 40,
-) -> Tuple[jax.Array, jax.Array]:
+    return_rounds: bool = False,
+    undirected: bool = False,
+):
     """Hub-graph OTF walker amortizing rejection retries ACROSS steps.
 
     The per-step rejection sampler (``ops/rejection.second_order_sample``)
@@ -150,17 +152,29 @@ def generate_walks_amortized(
         round_cap_factor: safety bound — at most ``L * factor + 64``
             rounds; lanes still short of L columns then emit their
             resting node (reachable only at pathological p/q).
+        return_rounds: also return the round count taken (diagnostics).
+        undirected: promise that edge weights are symmetric
+            (w(u, v) == w(v, u) and edges exist in both directions, the
+            ``.edg`` undirected contract). The return-edge atom for the
+            post-advance state needs w(new_cur -> new_prev); with the
+            promise that equals the accepted proposal's own w(cur, x),
+            which is already in hand — saving a full-batch membership
+            probe (one hash-bucket gather + one [B, dpad] carried-row
+            compare) EVERY round.
     """
     b = start.shape[0]
     sentinel = graph.num_nodes
     alpha_np = max(1.0, 1.0 / q)  # bound over non-return candidates
     excess = 1.0 / p - alpha_np
     use_atom = excess > 0.0
+    use_cdf = "cdf" in graph.channels  # precomputed 1st-order CDF rows
 
     key_first, key_rounds = jax.random.split(key)
     start_rows = graph.gather_rows(start)
     alive0 = graph.rows_nbr(start_rows)[:, 0] != sentinel
-    first, _ = rejection.propose(graph, key_first, start_rows)
+    first, w_first = rejection.propose(
+        graph, key_first, start_rows, use_cdf=use_cdf
+    )
     col1 = jnp.where(alive0, first, start)
     eff0 = jnp.where(alive0, walk_length + 1, 1).astype(jnp.int32)
     if walk_length == 1:
@@ -174,9 +188,8 @@ def generate_walks_amortized(
     buf = jnp.zeros((b, walk_length + 1), dtype=jnp.int32)
     buf = buf.at[:, 0].set(start).at[:, 1].set(col1)
 
-    def atom_state(prev, cur_rows):
-        """Return-edge atom mass for each (cur, prev) pair, on arrival."""
-        _, wp = rejection.membership(graph, prev, cur_rows)
+    def _theta_from(wp, cur_rows):
+        """Return-edge atom mass from w(cur -> prev) + cur's weight sum."""
         wsum = jnp.sum(graph.rows_wgt(cur_rows), axis=-1)
         if graph.has_hubs:
             wsum = jnp.where(
@@ -184,14 +197,23 @@ def generate_walks_amortized(
                 graph.rows_hub_wsum(cur_rows),
                 wsum,
             )
-        theta = (
+        return (
             wp * excess
             / (wp * excess + alpha_np * jnp.maximum(wsum, rejection._EPS))
         )
-        return theta, wp
+
+    def atom_state(prev, cur_rows):
+        """Atom mass for each (cur, prev) pair via a membership probe
+        (the directed-safe path; ``undirected`` skips the probe)."""
+        _, wp = rejection.membership(graph, prev, cur_rows)
+        return _theta_from(wp, cur_rows), wp
 
     if use_atom:
-        theta, wp = atom_state(start, col1_rows)
+        if undirected:
+            # w(col1 -> start) == the first proposal's own weight
+            theta, wp = _theta_from(w_first, col1_rows), w_first
+        else:
+            theta, wp = atom_state(start, col1_rows)
     else:
         theta = wp = jnp.zeros((b,), dtype=jnp.float32)
 
@@ -220,11 +242,11 @@ def generate_walks_amortized(
          theta, wp, _, t) = state
         rkey = jax.random.fold_in(key_rounds, t)
         needs = alive & (step <= walk_length)
-        x, ok = rejection._trial_block(
+        x, ok, wx = rejection._trial_block(
             graph, rkey, prev, cur_rows, prev_rows, p, q, extend,
             alpha_np, trials,
             theta if use_atom else None, wp if use_atom else None,
-            mode="auto",
+            mode="auto", use_cdf=use_cdf,
         )
         adv = needs & ok
         col = jnp.where(adv, step, walk_length + 1)
@@ -241,7 +263,12 @@ def generate_walks_amortized(
         eff = jnp.where(died, step, eff)
         alive = alive & ~died
         if use_atom:
-            theta_n, wp_n = atom_state(new_prev, nxt_rows)
+            if undirected:
+                # w(new_cur -> new_prev) == w(cur -> x) == the accepted
+                # proposal's weight: no membership probe needed
+                theta_n, wp_n = _theta_from(wx, nxt_rows), wx
+            else:
+                theta_n, wp_n = atom_state(new_prev, nxt_rows)
             theta = jnp.where(adv, theta_n, theta)
             wp = jnp.where(adv, wp_n, wp)
         return (new_cur, new_prev, nxt_rows, new_prev_rows, step, alive,
@@ -256,4 +283,6 @@ def generate_walks_amortized(
     cols = jnp.arange(walk_length + 1, dtype=jnp.int32)[None, :]
     fill_from = jnp.minimum(eff, step)[:, None]
     walks = jnp.where(cols < fill_from, buf, cur[:, None])
+    if return_rounds:
+        return walks, eff, state[-1]
     return walks, eff

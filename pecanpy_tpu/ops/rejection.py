@@ -246,11 +246,11 @@ def _bias(
 
 def _single_trial(
     dg, key, prev, cur_rows, prev_rows, p, q, extend, alpha_np,
-    theta, wp, mode,
+    theta, wp, mode, use_cdf=False,
 ):
     """One flat [B] proposal + accept test per lane."""
     k_prop, k_acc, k_atom = jax.random.split(key, 3)
-    x, wx = propose(dg, k_prop, cur_rows)
+    x, wx = propose(dg, k_prop, cur_rows, use_cdf=use_cdf)
     if theta is not None:
         atom = jax.random.uniform(k_atom, theta.shape) < theta
         x = jnp.where(atom, prev, x)
@@ -262,14 +262,15 @@ def _single_trial(
     if theta is not None:
         accept = jnp.where(x == prev, 1.0, accept)
     ok = jax.random.uniform(k_acc, x.shape) < accept
-    return x, ok
+    return x, ok, wx
 
 
 def _trial_block(
     dg, key, prev, cur_rows, prev_rows, p, q, extend, alpha_np, trials,
-    theta=None, wp=None, mode="auto",
+    theta=None, wp=None, mode="auto", use_cdf=False,
 ):
-    """T iid proposals per lane; return (first accepted or last, any ok).
+    """T iid proposals per lane; returns (first accepted or last, any ok,
+    w(cur, chosen)).
 
     The T trials run as a STATIC Python loop of flat [B] evaluations —
     a [B, T] trial axis looks natural but pays TPU sublane padding on
@@ -286,18 +287,19 @@ def _trial_block(
     """
     chosen = None
     for t in range(trials):
-        x_t, ok_t = _single_trial(
+        x_t, ok_t, wx_t = _single_trial(
             dg, jax.random.fold_in(key, t), prev, cur_rows, prev_rows,
-            p, q, extend, alpha_np, theta, wp, mode,
+            p, q, extend, alpha_np, theta, wp, mode, use_cdf=use_cdf,
         )
         if chosen is None:
-            chosen, got = x_t, ok_t
+            chosen, got, chosen_w = x_t, ok_t, wx_t
         else:
             # first accepted wins; lanes with no accept yet track the
             # freshest proposal (the safety-cap fallback)
             chosen = jnp.where(~got, x_t, chosen)
+            chosen_w = jnp.where(~got, wx_t, chosen_w)
             got = got | ok_t
-    return chosen, got
+    return chosen, got, chosen_w
 
 
 _CBLK = 128  # compaction block width (one fast row gather per query)
@@ -410,7 +412,7 @@ def second_order_sample(
         pr_i = prev_rows[idx]
         theta = None if theta_full is None else theta_full[idx]
         wp_arr = None if wp_full is None else wp_full[idx]
-        x_sub, ok_sub = _trial_block(
+        x_sub, ok_sub, _ = _trial_block(
             dg, phase_key, prev_i, cr_i, pr_i, p, q, extend,
             alpha_np, trials, theta, wp_arr, mode=mode,
         )

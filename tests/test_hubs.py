@@ -324,3 +324,56 @@ def test_compact_indices_empty(rng):
     idx, valid = rejection._compact_indices(pending, 16)
     assert not np.asarray(valid).any()
     assert (np.asarray(idx) < 100).all()
+
+
+def test_amortized_undirected_atom_bitwise_identical(rng):
+    """On a symmetric graph, ``undirected=True`` (atom mass from the
+    carried proposal weight — no membership probe) must reproduce the
+    directed-safe path BITWISE: both read the same stored weight value
+    and consume the identical RNG stream."""
+    from pecanpy_tpu.models import engine
+
+    adj = oracle.random_graph(rng, 14, mean_degree=9.0, weighted=True)
+    g = device_csr_from_dense(adj, degree_cap=CAP)
+    assert g.has_hubs
+    start = jnp.asarray(rng.integers(0, 14, 64, dtype=np.int32))
+    key = jax.random.PRNGKey(11)
+    out = [
+        engine.generate_walks_amortized(
+            g, start, key, 8, 0.5, 2.0, False, undirected=u
+        )
+        for u in (False, True)
+    ]
+    np.testing.assert_array_equal(np.asarray(out[0][0]), np.asarray(out[1][0]))
+    np.testing.assert_array_equal(np.asarray(out[0][1]), np.asarray(out[1][1]))
+
+
+def test_amortized_cdf_channel_distribution(rng):
+    """The precomputed-CDF proposal (``with_cdf`` rows) samples the same
+    second-order law: chi-square-style check against the oracle."""
+    from pecanpy_tpu.models import engine
+
+    p, q = 0.5, 2.0
+    adj = oracle.random_graph(rng, 8, mean_degree=5.0, weighted=True)
+    g = device_csr_from_dense(adj, degree_cap=CAP, with_cdf=True)
+    start = jnp.asarray(rng.integers(0, 8, 6400, dtype=np.int32))
+    walks, eff = engine.generate_walks_amortized(
+        g, start, jax.random.PRNGKey(3), 4, p, q, False, undirected=True
+    )
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    counts = {}
+    for row, m in zip(walks, eff):
+        for j in range(2, m):
+            counts.setdefault((row[j - 2], row[j - 1]), []).append(row[j])
+    checked = 0
+    for (prev, cur), nxts in counts.items():
+        if len(nxts) < 400:
+            continue
+        nbrs = np.nonzero(adj[cur])[0]
+        expected = oracle.node2vec_probs(adj, cur, prev, p, q)
+        freq = np.array([(np.array(nxts) == nb).mean() for nb in nbrs])
+        np.testing.assert_allclose(
+            freq, expected, atol=4.5 * np.sqrt(0.25 / len(nxts))
+        )
+        checked += 1
+    assert checked >= 3
