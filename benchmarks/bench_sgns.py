@@ -14,6 +14,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, ".")  # run as: python benchmarks/bench_sgns.py
+
 
 def main():
     import jax

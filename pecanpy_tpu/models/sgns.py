@@ -150,6 +150,44 @@ def build_negative_table(
     return table
 
 
+def _pair_counts_banded(
+    comp: jax.Array,
+    negs: jax.Array,
+    cnt_v: jax.Array,
+    eff_win: jax.Array,
+    m: jax.Array,
+    window: int,
+) -> jax.Array:
+    """Per-(context j, negative k) trained-pair count minus collisions.
+
+    Equals ``cnt_v[:, :, None] - einsum("bij,bijk->bjk", pm, coll)`` where
+    ``coll[b, i, j, k] = comp[b, i] == negs[b, j, k]`` — but evaluated
+    over the window BAND (|i - j| <= window, 2W shifted [Wb, T, K]
+    compares) instead of materializing the [Wb, T, T, K] tensor.
+    """
+    wb, t = comp.shape
+    ti = jnp.arange(t)
+    valid_tok = ti[None, :] < m[:, None]  # [Wb, T]
+    pair_cnt = jnp.broadcast_to(
+        cnt_v[:, :, None].astype(jnp.float32), negs.shape
+    )
+    for d in range(-window, window + 1):
+        if d == 0:
+            continue
+        in_rng = (ti + d >= 0) & (ti + d < t)  # [T] center stays in range
+        comp_d = jnp.roll(comp, -d, axis=1)  # comp[b, j + d]
+        effw_d = jnp.roll(eff_win, -d, axis=1)
+        valid_d = jnp.roll(valid_tok, -d, axis=1)
+        band = (
+            (abs(d) <= effw_d) & valid_d & valid_tok & in_rng[None, :]
+        )  # pm[b, j + d, j]
+        coll_d = comp_d[:, :, None] == negs  # [Wb, T, K]
+        pair_cnt = pair_cnt - jnp.where(
+            band[:, :, None] & coll_d, 1.0, 0.0
+        )
+    return pair_cnt
+
+
 def make_step_body(
     num_nodes: int,
     config: SGNSConfig,
@@ -215,49 +253,61 @@ def make_step_body(
         uo = w_out[comp].astype(jnp.float32)
 
         # 4. Per-token negatives from the shuffled unigram^0.75 table —
-        #    via a per-step pool when the chunk is large enough: pool[j]
-        #    are iid unigram draws, and (token, slot) s takes
-        #    pool[(s + off) % M]. Marginally each negative is exactly
-        #    unigram^0.75; the payoff is that the pool index is a pure
-        #    function of s, so the per-slot update aggregation below is a
-        #    reshape-sum instead of a sort.
-        r_neg = wb * t * k_neg
+        #    via a per-step pool when the chunk is large enough: pool[s]
+        #    are iid unigram draws, and the negative of (token n, slot k)
+        #    is pool slot (k * BT + n) % M — a K-MAJOR stripe assignment.
+        #    Marginally each negative is exactly unigram^0.75; the payoff
+        #    is twofold: the negative EMBEDDING rows are gathered once
+        #    for the M pool slots (not once per draw), and for a fixed k
+        #    the token axis maps onto a contiguous modular range of
+        #    slots, so everything negative-side evaluates as K streamed
+        #    [BT, dim] stripes — no [Wb, T, K, dim] tensor ever exists —
+        #    and the per-slot update aggregation is a reshape-sum plus a
+        #    roll (no sort, no scatter).
+        bt = wb * t
+        r_neg = bt * k_neg
         m_pool = config.neg_pool
         use_pool = bool(m_pool) and r_neg > m_pool
+        v_flat = v.reshape(bt, dim)
         if use_pool:
             k_pool, k_off = jax.random.split(key_neg)
             pool = neg_table[
                 jax.random.randint(k_pool, (m_pool,), 0, neg_table.shape[0])
             ]  # [M]
             off = jax.random.randint(k_off, (), 0, m_pool)
-            # slot s takes pool[(s + off) % M] == roll(pool, -off)[s % M]:
-            # the rolled pool tiles across the flat (b, t, k) axis, so the
-            # negative EMBEDDING rows are gathered once for the M pool
-            # slots and broadcast-tiled — r_neg/M fewer row gathers than
-            # fetching w_out[negs] directly (the dominant negative-side
-            # cost at default shapes: ~500k gathers -> 32k).
-            reps = -(-r_neg // m_pool)
-            pool_r = jnp.roll(pool, -off)
-            negs = (
-                jnp.broadcast_to(pool_r[None], (reps, m_pool))
-                .reshape(-1)[:r_neg]
-                .reshape(wb, t, k_neg)
-            )
+            pool_r = jnp.roll(pool, -off)  # stripe k, token n: slot
+            # (k * BT + n) % M of pool_r
             pool_rows = w_out[pool_r].astype(jnp.float32)  # [M, dim]
-            u_neg = (
-                jnp.broadcast_to(
-                    pool_rows[None], (reps, m_pool, dim)
+            reps = -(-bt // m_pool)
+
+            def stripe(arr_m, k):
+                """[BT, ...] view of stripe k of an [M, ...]-indexed
+                table: roll by the stripe's base offset, tile to BT."""
+                rolled = jnp.roll(arr_m, -((k * bt) % m_pool), axis=0)
+                tiled = jnp.broadcast_to(
+                    rolled[None], (reps,) + rolled.shape
                 )
-                .reshape(-1, dim)[:r_neg]
-                .reshape(wb, t, k_neg, dim)
-            )
+                return tiled.reshape((reps * m_pool,) + rolled.shape[1:])[
+                    :bt
+                ]
+
+            neg_logits = jnp.stack(
+                [
+                    jnp.sum(v_flat * stripe(pool_rows, k), axis=-1)
+                    for k in range(k_neg)
+                ]
+            )  # [K, BT]
+            negs = jnp.stack(
+                [stripe(pool_r, k) for k in range(k_neg)]
+            ).T.reshape(wb, t, k_neg)  # ids only (collision counts)
+            u_neg = None
         else:
             slots = jax.random.randint(
                 key_neg, (wb, t, k_neg), 0, neg_table.shape[0]
             )
             negs = neg_table[slots]  # [Wb, T, K]
             u_neg = w_out[negs].astype(jnp.float32)  # [Wb, T, K, dim]
-        neg_logits = jnp.einsum("btd,btkd->btk", v, u_neg)
+            neg_logits = jnp.einsum("btd,btkd->btk", v, u_neg)
         if model_axis is not None:  # partial dots over the dim shards
             neg_logits = jax.lax.psum(neg_logits, model_axis)
         g_neg = jax.nn.sigmoid(neg_logits)  # sigma(v_ctx . u_neg)
@@ -290,21 +340,30 @@ def make_step_body(
 
         # negative coefficients per (context token, neg slot): every pair
         # (i, j) contributes g_neg[j, k] unless neg k collides with the
-        # pair's center token i
-        coll = (
-            comp[:, :, None, None] == negs[:, None, :, :]
-        )  # [Wb, I, J, K]
-        pair_cnt = cnt_v[:, :, None] - jnp.einsum(
-            "bij,bijk->bjk", pm, coll.astype(jnp.float32)
+        # pair's center token i. Collision counts evaluate over the
+        # window BAND (2W shifted [Wb, T, K] compares) — the all-pairs
+        # [Wb, I, J, K] tensor never materializes.
+        pair_cnt = _pair_counts_banded(
+            comp, negs, cnt_v, eff_win, m, window
         )  # pairs per (j, k) surviving the collision mask
-        a_v = g_neg * pair_cnt
         c_v = pair_cnt
 
         # negative-side gradients: the context rows get the accumulated
         # pull away from their negatives; each negative row collects the
         # symmetric push from its context token
-        dv = dv + jnp.einsum("btk,btkd->btd", a_v, u_neg)
-        du_neg = a_v[..., None] * v[:, :, None, :]  # [Wb, T, K, dim]
+        if use_pool:
+            # stripe-streamed: K fused [BT, dim] passes
+            a_km = g_neg * pair_cnt.reshape(bt, k_neg).T  # [K, BT]
+            dv_neg = jnp.zeros((bt, dim), dtype=jnp.float32)
+            for k in range(k_neg):
+                dv_neg = dv_neg + a_km[k][:, None] * stripe(pool_rows, k)
+            dv = dv + dv_neg.reshape(wb, t, dim)
+            a_v = None
+            du_neg = None
+        else:
+            a_v = g_neg * pair_cnt
+            dv = dv + jnp.einsum("btk,btkd->btd", a_v, u_neg)
+            du_neg = a_v[..., None] * v[:, :, None, :]  # [Wb, T, K, dim]
 
         # 6. Apply: capped gradient sums per row, scatter-free on TPU.
         ids_tok = comp.reshape(-1)
@@ -313,18 +372,28 @@ def make_step_body(
         du_flat = du.reshape(-1, dim)
         cnt_u_flat = cnt_u.reshape(-1)
         if use_pool:
-            # pre-aggregate the negative updates per pool slot: position
-            # s of the ROLLED pool serves every draw with s % M == s, so
-            # a reshape-sum over the tiling axis groups the updates; the
-            # rolled pool itself is the id stream (no final roll needed).
-            # Sums and counts per table row reach the applier unchanged —
-            # only grouped.
-            pad_r = (-r_neg) % m_pool
-            dn = jnp.pad(du_neg.reshape(r_neg, dim), ((0, pad_r), (0, 0)))
-            cv = jnp.pad(c_v.reshape(r_neg), (0, pad_r))
+            # pre-aggregate the negative updates per pool slot, one
+            # stripe at a time: stripe k's token n feeds slot
+            # (n + k * BT) % M, so a reshape-sum over the tiling axis
+            # groups by n % M and a roll by the stripe base realigns to
+            # slot order. Sums and counts per table row reach the
+            # applier unchanged — only grouped; the rolled pool itself
+            # is the id stream.
+            pad_bt = (-bt) % m_pool
+            du_neg_flat = jnp.zeros((m_pool, dim), dtype=jnp.float32)
+            c_v_flat = jnp.zeros((m_pool,), dtype=jnp.float32)
+            c_km = pair_cnt.reshape(bt, k_neg).T  # [K, BT]
+            for k in range(k_neg):
+                shift = (k * bt) % m_pool
+                z = a_km[k][:, None] * v_flat  # [BT, dim]
+                zp = jnp.pad(z, ((0, pad_bt), (0, 0)))
+                by_mod = jnp.sum(zp.reshape(-1, m_pool, dim), axis=0)
+                du_neg_flat = du_neg_flat + jnp.roll(by_mod, shift, axis=0)
+                cp = jnp.pad(c_km[k], (0, pad_bt))
+                c_v_flat = c_v_flat + jnp.roll(
+                    jnp.sum(cp.reshape(-1, m_pool), axis=0), shift
+                )
             negs_flat = pool_r
-            du_neg_flat = jnp.sum(dn.reshape(-1, m_pool, dim), axis=0)
-            c_v_flat = jnp.sum(cv.reshape(-1, m_pool), axis=0)
         else:
             negs_flat = negs.reshape(-1)
             du_neg_flat = du_neg.reshape(-1, dim)

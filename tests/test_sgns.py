@@ -220,3 +220,69 @@ def test_negative_pool_quality(rng):
     emb = np.asarray(sgns.train(walks, eff, g.num_nodes, config))
     f1 = td.micro_f1_nearest_centroid(emb, labels, rng)
     assert f1 >= 0.9, f"micro-F1 {f1:.3f} below 0.9 with pooled negatives"
+
+
+def test_negative_pool_kmajor_oracle(rng):
+    """Pooled path vs the DIRECT path forced onto the identical k-major
+    negative assignment: per-id update totals must match, so the final
+    tables agree to float-reorder tolerance. Catches any misalignment in
+    the stripe roll/reshape-sum slot math (which a constant negative
+    table cannot see)."""
+    import dataclasses as dc
+    from unittest import mock
+
+    import jax
+    import jax.numpy as jnp
+
+    n, dim = 25, 8
+    wb, t, k_neg, m_pool = 4, 10, 3, 32  # r_neg = 120 > M: pooled
+    bt = wb * t
+    walks = jnp.asarray(rng.integers(0, n, (wb, t), dtype=np.int32))
+    eff = jnp.full((wb,), t, dtype=jnp.int32)
+    w_in = jnp.asarray(rng.standard_normal((n, dim)).astype(np.float32) * 0.1)
+    w_out = jnp.asarray(
+        rng.standard_normal((n, dim)).astype(np.float32) * 0.1
+    )
+    keep = jnp.ones(n, dtype=jnp.float32)
+    # identity table: the direct path's negative ids equal its slots
+    neg_table = jnp.arange(n, dtype=jnp.int32)
+    key = jax.random.PRNGKey(5)
+    lr = jnp.float32(0.02)
+
+    # replicate the pooled step's key tree and stripe assignment
+    _, _, key_neg, _ = jax.random.split(key, 4)
+    k_pool, k_off = jax.random.split(key_neg)
+    pool = neg_table[jax.random.randint(k_pool, (m_pool,), 0, n)]
+    off = jax.random.randint(k_off, (), 0, m_pool)
+    pool_r = jnp.roll(pool, -off)
+    f = (
+        jnp.arange(k_neg, dtype=jnp.int32)[:, None] * bt
+        + jnp.arange(bt, dtype=jnp.int32)[None, :]
+    ) % m_pool
+    negs_kmajor = pool_r[f].T.reshape(wb, t, k_neg)
+
+    cfg = sgns.SGNSConfig(
+        dim=dim, window=3, negative=k_neg, sample=0.0, seed=0,
+        neg_pool=m_pool,
+    )
+    out_pool = sgns.make_step_body(n, cfg)(
+        jnp.copy(w_in), jnp.copy(w_out), walks, eff, keep, neg_table,
+        lr, key,
+    )
+
+    real_randint = jax.random.randint
+
+    def forced_randint(k, shape, minval, maxval, *a, **kw):
+        if tuple(shape) == (wb, t, k_neg):  # the direct slot draw
+            return negs_kmajor
+        return real_randint(k, shape, minval, maxval, *a, **kw)
+
+    with mock.patch.object(jax.random, "randint", forced_randint):
+        out_direct = sgns.make_step_body(n, dc.replace(cfg, neg_pool=0))(
+            jnp.copy(w_in), jnp.copy(w_out), walks, eff, keep, neg_table,
+            lr, key,
+        )
+    for got, want in zip(out_pool, out_direct):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-6
+        )
