@@ -46,7 +46,8 @@ def main():
     from pecanpy_tpu.ops import rejection
     from pecanpy_tpu.ops.layout import build_device_csr
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    n = int(pos[0]) if pos else 1_000_000
     p, q = 0.5, 2.0
     b = 131_072
 
@@ -106,14 +107,15 @@ def main():
                 flush=True,
             )
 
-    run_variant("undirected atom     ", graph, True)
-    graph_cdf = build_device_csr(
-        indptr, indices, data, degree_cap=128, with_cdf=True
-    )
-    run_variant("undirected + cdf    ", graph_cdf, True)
-    run_variant("baseline (directed) ", graph, False, Ls=(40, 80))
-    if "--variants-only" in sys.argv:
-        return
+    if "--micro-only" not in sys.argv:
+        run_variant("undirected atom     ", graph, True)
+        graph_cdf = build_device_csr(
+            indptr, indices, data, degree_cap=128, with_cdf=True
+        )
+        run_variant("undirected + cdf    ", graph_cdf, True)
+        run_variant("baseline (directed) ", graph, False, Ls=(40, 80))
+        if "--variants-only" in sys.argv:
+            return
 
     def rep(k, body, init):
         def run(kk):

@@ -29,7 +29,7 @@ Walk semantics preserved from the reference (``pecanpy.py:180-206``):
 * dead walkers keep emitting their resting node, which is never read
   because consumers cut each walk at its effective length.
 """
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,7 +114,7 @@ def generate_walks_amortized(
     trials: int = 1,
     round_cap_factor: int = 40,
     return_rounds: bool = False,
-    undirected: bool = False,
+    undirected: Optional[bool] = None,
 ):
     """Hub-graph OTF walker amortizing rejection retries ACROSS steps.
 
@@ -153,7 +153,9 @@ def generate_walks_amortized(
             rounds; lanes still short of L columns then emit their
             resting node (reachable only at pathological p/q).
         return_rounds: also return the round count taken (diagnostics).
-        undirected: promise that edge weights are symmetric
+        undirected: None (default) takes ``graph.symmetric`` — the
+            build-time symmetry detection. Promise that edge weights are
+            symmetric
             (w(u, v) == w(v, u) and edges exist in both directions, the
             ``.edg`` undirected contract). The return-edge atom for the
             post-advance state needs w(new_cur -> new_prev); with the
@@ -162,6 +164,8 @@ def generate_walks_amortized(
             probe (one hash-bucket gather + one [B, dpad] carried-row
             compare) EVERY round.
     """
+    if undirected is None:
+        undirected = graph.symmetric
     b = start.shape[0]
     sentinel = graph.num_nodes
     alpha_np = max(1.0, 1.0 / q)  # bound over non-return candidates

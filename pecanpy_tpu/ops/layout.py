@@ -131,6 +131,11 @@ class DeviceCSR:
     max_degree: int = dataclasses.field(metadata=dict(static=True), default=0)
     gamma: float = dataclasses.field(metadata=dict(static=True), default=0.0)
     has_hubs: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # w(u, v) == w(v, u) and both directions present (the undirected .edg
+    # contract) — lets the amortized walker reuse each accepted proposal's
+    # weight as the next return-edge weight instead of a membership probe.
+    # False is always safe (it only disables that shortcut).
+    symmetric: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def num_nodes(self) -> int:
@@ -288,6 +293,31 @@ def _segment_stats(
     return np.maximum(thresholds, 0.0).astype(np.float32)
 
 
+def edges_symmetric(
+    indptr: np.ndarray, indices: np.ndarray, data: np.ndarray
+) -> bool:
+    """True iff the CSR equals its transpose (weights bit-exact).
+
+    One lexsort each of the forward and reversed edge lists; rows with
+    duplicate (u, v) entries (never produced by ``to_csr``) may report a
+    false negative, which is safe — consumers only use True as license
+    to skip work.
+    """
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    if indices.size == 0:
+        return True
+    deg = np.diff(indptr)
+    rows = np.repeat(np.arange(indptr.size - 1), deg)
+    fwd = np.lexsort((indices, rows))
+    rev = np.lexsort((rows, indices))
+    return bool(
+        np.array_equal(rows[fwd], indices[rev])
+        and np.array_equal(indices[fwd], rows[rev])
+        and np.array_equal(data[fwd], data[rev])
+    )
+
+
 def build_padded_host(
     indptr: np.ndarray,
     indices: np.ndarray,
@@ -355,6 +385,7 @@ def build_device_csr(
     with_thresholds: bool = False,
     with_cdf: bool = False,
     degree_cap: Optional[int] = DEFAULT_DEGREE_CAP,
+    symmetric: Optional[bool] = None,
 ) -> DeviceCSR:
     """Pack a host CSR triple into the fused device layout.
 
@@ -372,6 +403,9 @@ def build_device_csr(
             O(E) flat structures + rejection sampling instead of fused rows
             (see ops/hubs.py). None disables capping (the fused table is
             padded to the true max degree — only sane for small graphs).
+        symmetric: declare the graph undirected-symmetric (True), directed
+            (False), or unknown (None — detected via ``edges_symmetric``,
+            one host lexsort pass).
     """
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
@@ -379,6 +413,8 @@ def build_device_csr(
     num_nodes = indptr.size - 1
     deg = np.diff(indptr).astype(np.int32)
     true_max = int(deg.max()) if deg.size and deg.max() > 0 else 1
+    if symmetric is None:
+        symmetric = edges_symmetric(indptr, indices, data)
 
     has_hubs = degree_cap is not None and true_max > degree_cap
     width = min(true_max, degree_cap) if has_hubs else true_max
@@ -457,6 +493,7 @@ def build_device_csr(
         max_degree=true_max,
         gamma=gamma,
         has_hubs=has_hubs,
+        symmetric=symmetric,
         **hub_kwargs,
     )
 
@@ -468,6 +505,7 @@ def device_csr_from_dense(
     with_thresholds: bool = False,
     with_cdf: bool = False,
     degree_cap: Optional[int] = DEFAULT_DEGREE_CAP,
+    symmetric: Optional[bool] = None,
 ) -> DeviceCSR:
     """Build the fused layout from a dense adjacency matrix.
 
@@ -476,6 +514,8 @@ def device_csr_from_dense(
     engine. Row order (ascending neighbor index) matches ``np.nonzero``.
     """
     dense = np.asarray(dense)
+    if symmetric is None:
+        symmetric = bool(np.array_equal(dense, dense.T))
     rows, cols = np.nonzero(dense)
     deg = np.bincount(rows, minlength=dense.shape[0])
     indptr = np.concatenate([[0], np.cumsum(deg)])
@@ -488,4 +528,5 @@ def device_csr_from_dense(
         with_thresholds=with_thresholds,
         with_cdf=with_cdf,
         degree_cap=degree_cap,
+        symmetric=symmetric,
     )

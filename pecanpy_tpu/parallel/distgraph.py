@@ -340,6 +340,7 @@ def distributed_walk_fn(
             max_degree=graph.max_degree,
             gamma=graph.gamma,
             has_hubs=graph.has_hubs,
+            symmetric=graph.symmetric,
             global_nodes=num_nodes,
             exchange=exchange,
             capacity=cap,
