@@ -20,19 +20,23 @@ sys.path.insert(0, ".")
 from benchmarks.bench_powerlaw import build_powerlaw_graph  # noqa: E402
 
 
-def slope(fn, lo=4, hi=16):
-    """Per-rep seconds via two in-jit rep counts."""
+def slope(fn, *args, lo=4, hi=16):
+    """Per-rep seconds via two in-jit rep counts.
+
+    ``args`` are real jit arguments (NOT closure captures — a zero-arg
+    jit embeds the 1M-node tables as HLO literals and the tunnel's
+    remote-compile endpoint rejects the payload with HTTP 413)."""
     import jax
 
     fn_j = jax.jit(fn, static_argnums=0)
-    out = fn_j(hi)
+    out = fn_j(hi, *args)
     jax.block_until_ready(out)
     times = {}
     for k in (lo, hi):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn_j(k))
+            jax.block_until_ready(fn_j(k, *args))
             best = min(best, time.perf_counter() - t0)
         times[k] = best
     return (times[hi] - times[lo]) / (hi - lo)
@@ -85,20 +89,24 @@ def main():
     import functools
 
     def run_variant(label, g, undirected, Ls=(80,)):
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def full(k, L):
+        # graph/starts ride as jit ARGS: closure capture would inline the
+        # 1M-node tables as HLO literals (tunnel rejects with HTTP 413)
+        @functools.partial(jax.jit, static_argnums=(3, 4))
+        def full(gg, st, k, L, und):
             return engine.generate_walks_amortized(
-                g, cur, k, L, p, q, False,
-                return_rounds=True, undirected=undirected,
+                gg, st, k, L, p, q, False,
+                return_rounds=True, undirected=und,
             )
 
         for L in Ls:
-            w, eff, t = full(key, L)
+            w, eff, t = full(g, cur, key, L, undirected)
             jax.block_until_ready(w)
             best = float("inf")
             for i in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(full(jax.random.fold_in(key, i), L))
+                jax.block_until_ready(
+                    full(g, cur, jax.random.fold_in(key, i), L, undirected)
+                )
                 best = min(best, time.perf_counter() - t0)
             print(
                 f"{label} L={L}: {best:.3f} s, rounds={int(t)}, "
@@ -107,6 +115,9 @@ def main():
                 flush=True,
             )
 
+    if "--undirected-only" in sys.argv:
+        run_variant("undirected atom     ", graph, True)
+        return
     if "--micro-only" not in sys.argv:
         run_variant("undirected atom     ", graph, True)
         graph_cdf = build_device_csr(
@@ -117,96 +128,120 @@ def main():
         if "--variants-only" in sys.argv:
             return
 
-    def rep(k, body, init):
-        def run(kk):
+    def rep(body):
+        """fori_loop wrapper; everything device-side rides as jit args."""
+
+        def run(kk, g, cu, pv, cr, pr, init):
             def f(i, c):
-                return body(jax.random.fold_in(key, i), c)
+                return body(g, jax.random.fold_in(key, i), c, cu, pv,
+                            cr, pr)
 
             return jax.lax.fori_loop(0, kk, f, init)
 
         return run
 
+    def meas(label, body, init=None):
+        ms = slope(
+            rep(body), graph, cur, prev, cur_rows, prev_rows,
+            cur if init is None else init,
+        ) * 1e3
+        print(f"{label}{ms:6.2f} ms", flush=True)
+
     # 1. full trial block (propose + bias + accept), mode=auto
-    def trial(k, c):
+    def trial(g, k, c, cu, pv, cr, pr):
         x, ok, _ = rejection._trial_block(
-            graph, k, prev, cur_rows, prev_rows, p, q, False,
+            g, k, pv, cr, pr, p, q, False,
             alpha_np, 1, None, None, mode="auto",
         )
         return c + x + ok.astype(jnp.int32)
 
-    print(f"trial block (auto):   {slope(rep(0, trial, cur)) * 1e3:6.2f} ms")
+    meas("trial block (auto):   ", trial)
 
     # 2. proposal alone (both paths merged, as propose() does)
-    def prop(k, c):
-        x, w = rejection.propose(graph, k, cur_rows)
+    def prop(g, k, c, cu, pv, cr, pr):
+        x, w = rejection.propose(g, k, cr)
         return c + x + w.astype(jnp.int32)
 
-    print(f"  propose (both):     {slope(rep(0, prop, cur)) * 1e3:6.2f} ms")
+    meas("  propose (both):     ", prop)
 
-    def prop_f(k, c):
-        x, w = rejection.fused_propose(graph, k, cur_rows, False)
+    def prop_f(g, k, c, cu, pv, cr, pr):
+        x, w = rejection.fused_propose(g, k, cr, False)
         return c + x + w.astype(jnp.int32)
 
-    print(f"  fused_propose:      {slope(rep(0, prop_f, cur)) * 1e3:6.2f} ms")
+    meas("  fused_propose:      ", prop_f)
 
-    def prop_a(k, c):
-        x, w = rejection.alias_propose(graph, k, cur_rows)
+    def prop_a(g, k, c, cu, pv, cr, pr):
+        x, w = rejection.alias_propose(g, k, cr)
         return c + x + w.astype(jnp.int32)
 
-    print(f"  alias_propose:      {slope(rep(0, prop_a, cur)) * 1e3:6.2f} ms")
+    meas("  alias_propose:      ", prop_a)
 
     # 3. membership (the _bias core) on a random candidate
-    def memb(k, c):
+    def memb(g, k, c, cu, pv, cr, pr):
         x = jax.random.randint(k, (b,), 0, n)
-        f, w = rejection.membership(graph, x, prev_rows)
+        f, w = rejection.membership(g, x, pr)
         return c + f.astype(jnp.int32) + w.astype(jnp.int32)
 
-    print(f"  membership (auto):  {slope(rep(0, memb, cur)) * 1e3:6.2f} ms")
+    meas("  membership (auto):  ", memb)
+
+    def memb_row(g, k, c, cu, pv, cr, pr):
+        x = jax.random.randint(k, (b,), 0, n)
+        f, w = rejection.membership(g, x, pr, mode="row")
+        return c + f.astype(jnp.int32) + w.astype(jnp.int32)
+
+    meas("  membership (row):   ", memb_row)
+
+    def memb_hub(g, k, c, cu, pv, cr, pr):
+        x = jax.random.randint(k, (b,), 0, n)
+        f, w = rejection.membership(g, x, pr, mode="hub")
+        return c + f.astype(jnp.int32) + w.astype(jnp.int32)
+
+    meas("  membership (hub):   ", memb_hub)
 
     # 4. atom recompute (membership of prev in cur + wsum select)
-    def atom(k, c):
-        _, wp = rejection.membership(graph, prev, cur_rows)
-        wsum = jnp.sum(graph.rows_wgt(cur_rows), axis=-1)
+    def atom(g, k, c, cu, pv, cr, pr):
+        _, wp = rejection.membership(g, pv, cr)
+        wsum = jnp.sum(g.rows_wgt(cr), axis=-1)
         wsum = jnp.where(
-            graph.rows_is_hub(cur_rows), graph.rows_hub_wsum(cur_rows), wsum
+            g.rows_is_hub(cr), g.rows_hub_wsum(cr), wsum
         )
         th = wp / (wp + jnp.maximum(wsum, 1e-30))
         return c + th.astype(jnp.int32)
 
-    print(f"atom recompute:       {slope(rep(0, atom, cur)) * 1e3:6.2f} ms")
+    meas("atom recompute:       ", atom)
 
     # 5. the one fused-row gather per round
-    def gath(k, c):
+    def gath(g, k, c, cu, pv, cr, pr):
         idx = jax.random.randint(k, (b,), 0, n)
-        r = graph.gather_rows(idx)
+        r = g.gather_rows(idx)
         return c + r[:, 0].astype(jnp.int32)
 
-    print(f"gather_rows [B,256]:  {slope(rep(0, gath, cur)) * 1e3:6.2f} ms")
+    meas("gather_rows [B,256]:  ", gath)
 
     # 6. buf writes: scatter-set vs masked where
     buf0 = jnp.zeros((b, 81), dtype=jnp.int32)
     lanes = jnp.arange(b, dtype=jnp.int32)
 
-    def buf_scatter(k, bf):
+    def buf_scatter(g, k, bf, cu, pv, cr, pr):
         col = jax.random.randint(k, (b,), 0, 81)
         return bf.at[lanes, col].set(1, mode="drop")
 
-    print(f"buf scatter-set:      {slope(rep(0, buf_scatter, buf0)) * 1e3:6.2f} ms")
+    meas("buf scatter-set:      ", buf_scatter, buf0)
 
-    def buf_where(k, bf):
+    def buf_where(g, k, bf, cu, pv, cr, pr):
         col = jax.random.randint(k, (b,), 0, 81)
         cols = jnp.arange(81, dtype=jnp.int32)[None, :]
         return jnp.where(cols == col[:, None], 1, bf)
 
-    print(f"buf masked where:     {slope(rep(0, buf_where, buf0)) * 1e3:6.2f} ms")
+    meas("buf masked where:     ", buf_where, buf0)
 
     # 7. carried-row select (prev_rows update)
-    def rowsel(k, c):
+    def rowsel(g, k, c, cu, pv, cr, pr):
         adv = jax.random.uniform(k, (b,)) < 0.5
-        nr = jnp.where(adv[:, None], cur_rows, prev_rows)
+        nr = jnp.where(adv[:, None], cr, pr)
         return c + nr[:, 0].astype(jnp.int32)
 
-    print(f"row where [B,256]:    {slope(rep(0, rowsel, cur)) * 1e3:6.2f} ms")
+    meas("row where [B,256]:    ", rowsel)
 
 
 

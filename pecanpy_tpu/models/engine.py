@@ -221,7 +221,7 @@ def generate_walks_amortized(
     else:
         theta = wp = jnp.zeros((b,), dtype=jnp.float32)
 
-    lanes = jnp.arange(b, dtype=jnp.int32)
+    cols_row = jnp.arange(walk_length + 1, dtype=jnp.int32)
     step0 = jnp.full((b,), 2, dtype=jnp.int32)
     round_cap = walk_length * round_cap_factor + 64
 
@@ -253,8 +253,11 @@ def generate_walks_amortized(
             mode="auto", use_cdf=use_cdf,
         )
         adv = needs & ok
-        col = jnp.where(adv, step, walk_length + 1)
-        buf = buf.at[lanes, col].set(x, mode="drop")
+        # masked-where write: one [B, L+1] compare+select. Measured free
+        # on v5e, where the per-lane scatter-set costs ~0.8 ms per round
+        # (benchmarks/diag_amortized.py)
+        col = jnp.where(adv, step, walk_length + 2)
+        buf = jnp.where(cols_row[None, :] == col[:, None], x[:, None], buf)
         new_cur = jnp.where(adv, x, cur)
         new_prev = jnp.where(adv, cur, prev)
         nxt_rows = graph.gather_rows(new_cur)  # THE one gather per round
