@@ -128,6 +128,63 @@ def main():
         if "--variants-only" in sys.argv:
             return
 
+    if "--compact-micro" in sys.argv:
+        # costs of the compact-fetch-scatter building blocks at half
+        # batch (S = B/2): is compacting the descriptor ops worth it?
+        s = b // 2
+
+        def c_compact(g, k, c, cu, pv, cr, pr):
+            pend = jax.random.uniform(k, (b,)) < 0.63
+            idx, valid = rejection._compact_indices(pend, s)
+            return c + idx.sum() + valid.sum()
+
+        def c_egather(g, k, c, cu, pv, cr, pr):
+            idx = jax.random.randint(k, (s,), 0, b)
+            return c + cu[idx].sum()
+
+        def c_scatter(g, k, c, cu, pv, cr, pr):
+            idx = jax.random.randint(k, (s,), 0, b)
+            vals = jax.random.randint(k, (s,), 0, n)
+            out = jnp.zeros((b,), jnp.int32).at[idx].set(vals, mode="drop")
+            return c + out
+
+        def c_alias_half(g, k, c, cu, pv, cr, pr):
+            slot = jax.random.randint(
+                k, (s,), 0, max(g.edge_pack.shape[0] * 8 - 1, 1)
+            )
+            rows = g.fetch_edge_slots(slot)
+            return c.at[:s].add(rows[..., 0].astype(jnp.int32))
+
+        def c_bucket_half(g, k, c, cu, pv, cr, pr):
+            bkt = jax.random.randint(
+                k, (s,), 0, max(g.hbuckets.shape[0] * 4 - 1, 1)
+            )
+            keys, vals = g.fetch_bucket(bkt)
+            return c.at[:s].add(keys[..., 0])
+
+        def rep2(body):
+            def run(kk, g, cu, pv, cr, pr, init):
+                def f(i, c):
+                    return body(g, jax.random.fold_in(key, i), c, cu, pv,
+                                cr, pr)
+
+                return jax.lax.fori_loop(0, kk, f, init)
+
+            return run
+
+        for label, fn in [
+            ("compact_indices B/2: ", c_compact),
+            ("elt gather [S of B]: ", c_egather),
+            ("elt scatter [S->B]:  ", c_scatter),
+            ("alias fetch S=B/2:   ", c_alias_half),
+            ("bucket fetch S=B/2:  ", c_bucket_half),
+        ]:
+            ms = slope(
+                rep2(fn), graph, cur, prev, cur_rows, prev_rows, cur
+            ) * 1e3
+            print(f"{label}{ms:6.2f} ms", flush=True)
+        return
+
     def rep(body):
         """fori_loop wrapper; everything device-side rides as jit args."""
 

@@ -115,7 +115,7 @@ class _AmortizedOTFMixin:
         if not use_amortized:
             return super()._make_walk_runner(walk_length)
         p, q, extend = self.p, self.q, self.extend
-        trials = int(os.environ.get("PECANPY_TPU_AMORTIZED_TRIALS", "1"))
+        trials = int(os.environ.get("PECANPY_TPU_AMORTIZED_TRIALS", "2"))
 
         def run(dg, aux, start, key):
             return engine.generate_walks_amortized(
