@@ -69,8 +69,11 @@ def main():
         f"({(deg * (deg > cap)).sum() / max(indptr[-1], 1):.1%} of edges)",
         file=sys.stderr,
     )
+    with_cdf = os.environ.get("BENCH_CDF", "0") == "1"
     t0 = time.perf_counter()
-    graph = build_device_csr(indptr, indices, data, degree_cap=cap)
+    graph = build_device_csr(
+        indptr, indices, data, degree_cap=cap, with_cdf=with_cdf
+    )
     print(
         f"device build (incl. hub tables): {time.perf_counter() - t0:.1f}s, "
         f"has_hubs={graph.has_hubs}",
@@ -80,10 +83,10 @@ def main():
     import os
 
     legacy = os.environ.get("POWERLAW_ENGINE", "amortized") == "per-step"
-    trials = int(os.environ.get("PECANPY_TPU_AMORTIZED_TRIALS", "1"))
+    trials = int(os.environ.get("PECANPY_TPU_AMORTIZED_TRIALS", "2"))
     print(
         f"engine: {'per-step sampler' if legacy else 'amortized'}"
-        + ("" if legacy else f" (trials={trials})"),
+        + ("" if legacy else f" (trials={trials}, cdf={with_cdf})"),
         file=sys.stderr,
     )
 

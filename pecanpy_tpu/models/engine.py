@@ -29,6 +29,7 @@ Walk semantics preserved from the reference (``pecanpy.py:180-206``):
 * dead walkers keep emitting their resting node, which is never read
   because consumers cut each walk at its effective length.
 """
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -233,6 +234,39 @@ def generate_walks_amortized(
     # round body itself has a uniform collective schedule).
     sync_axis = getattr(graph, "loop_sync_axis", None)
 
+    # Fused Pallas trial block (ops/trialkernel.py) — OPT-IN experiment
+    # (PECANPY_TPU_FUSED_TRIAL=1; interpret mode on CPU). Bit-exact vs
+    # the XLA path, but measured SLOWER on v5e (13.3 vs 6.1 ms per
+    # T=2 trial block at 131k lanes): XLA already fuses the elementwise
+    # chain well, and the kernel's many narrow [L, 1] operand blocks
+    # cost more in per-grid-step DMA than the fusion saves.
+    fused_env = os.environ.get("PECANPY_TPU_FUSED_TRIAL", "")
+    use_fused_trial = (
+        graph.has_hubs
+        and not extend
+        and sync_axis is None
+        and fused_env == "1"
+    )
+    if use_fused_trial:
+        from pecanpy_tpu.ops import trialkernel
+
+        interp = jax.default_backend() != "tpu"
+
+        def trial_fn(rkey, prev_, cur_rows_, prev_rows_, theta_, wp_):
+            return trialkernel.trial_block_fused(
+                graph, rkey, prev_, cur_rows_, prev_rows_, p, q,
+                alpha_np, trials, theta_, wp_, use_cdf=use_cdf,
+                interpret=interp,
+            )
+    else:
+
+        def trial_fn(rkey, prev_, cur_rows_, prev_rows_, theta_, wp_):
+            return rejection._trial_block(
+                graph, rkey, prev_, cur_rows_, prev_rows_, p, q, extend,
+                alpha_np, trials, theta_, wp_, mode="auto",
+                use_cdf=use_cdf,
+            )
+
     def pending_count(alive, step):
         n_pend = jnp.sum((alive & (step <= walk_length)).astype(jnp.int32))
         if sync_axis is not None:
@@ -248,11 +282,9 @@ def generate_walks_amortized(
          theta, wp, _, t) = state
         rkey = jax.random.fold_in(key_rounds, t)
         needs = alive & (step <= walk_length)
-        x, ok, wx = rejection._trial_block(
-            graph, rkey, prev, cur_rows, prev_rows, p, q, extend,
-            alpha_np, trials,
+        x, ok, wx = trial_fn(
+            rkey, prev, cur_rows, prev_rows,
             theta if use_atom else None, wp if use_atom else None,
-            mode="auto", use_cdf=use_cdf,
         )
         adv = needs & ok
         # masked-where write: one [B, L+1] compare+select. Measured free
