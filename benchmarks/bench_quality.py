@@ -45,7 +45,13 @@ def main():
     t0 = time.perf_counter()
     # default (auto) batch_walks: sized so per-row gradient counts stay
     # near the update cap — large forced chunks throttle learning
-    emb = g.embed(dim=128, num_walks=10, walk_length=80, window_size=10)
+    import os
+
+    table_dtype = os.environ.get("BENCH_TABLE_DTYPE", "float32")
+    emb = g.embed(
+        dim=128, num_walks=10, walk_length=80, window_size=10,
+        table_dtype=table_dtype,
+    )
     t_embed = time.perf_counter() - t0
     print(f"embed: {t_embed:.1f}s", file=sys.stderr)
 

@@ -32,9 +32,13 @@ def main():
     walks = jnp.asarray(rng.integers(0, n, (n_walks, t_cols), dtype=np.int32))
     eff = jnp.full((n_walks,), t_cols, dtype=jnp.int32)
 
+    import os
+
     bw = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    table_dtype = os.environ.get("BENCH_TABLE_DTYPE", "float32")
     config = sgns.SGNSConfig(
-        dim=128, window=10, negative=5, seed=0, batch_walks=bw
+        dim=128, window=10, negative=5, seed=0, batch_walks=bw,
+        table_dtype=table_dtype,
     )
     use_pallas = jax.default_backend() == "tpu"
     chunk = sgns.resolve_batch_walks(config, n, t_cols)
@@ -54,10 +58,11 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def init():
+        dt = jnp.dtype(config.table_dtype)
         w_in = jax.random.uniform(
             key, (n, config.dim), minval=-0.004, maxval=0.004
-        )
-        return w_in, jnp.zeros((n, config.dim), jnp.float32)
+        ).astype(dt)
+        return w_in, jnp.zeros((n, config.dim), dt)
 
     w_in, w_out = init()
     w_in, w_out = step(

@@ -8,6 +8,8 @@ cancels the tunneled device's ~50-75 ms dispatch floor.
 Run from repo root: python benchmarks/micro_apply.py [n_rows]
 """
 import sys
+
+sys.path.insert(0, ".")
 import time
 
 import numpy as np
