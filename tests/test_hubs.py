@@ -377,3 +377,45 @@ def test_amortized_cdf_channel_distribution(rng):
         )
         checked += 1
     assert checked >= 3
+
+
+def test_amortized_directed_asymmetric_distribution(rng):
+    """Directed graph with ASYMMETRIC weights through the amortized
+    walker: `symmetric` detection must come back False, forcing the
+    membership-probe atom path, and the sampled law must match the
+    oracle. (The undirected shortcut would read the wrong return-edge
+    weight here — this pins the router.)"""
+    from pecanpy_tpu.models import engine
+
+    p, q = 0.5, 2.0
+    n = 8
+    adj = oracle.random_graph(rng, n, mean_degree=6.0, weighted=True,
+                              directed=True)
+    # every node needs out-edges so contexts accumulate
+    for i in range(n):
+        if adj[i].sum() == 0:
+            adj[i, (i + 1) % n] = 1.5
+    assert not np.array_equal(adj, adj.T)
+    g = device_csr_from_dense(adj, degree_cap=CAP)
+    assert g.has_hubs and not g.symmetric
+    start = jnp.asarray(rng.integers(0, n, 6400, dtype=np.int32))
+    walks, eff = engine.generate_walks_amortized(
+        g, start, jax.random.PRNGKey(9), 4, p, q, False
+    )
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    counts = {}
+    for row, m in zip(walks, eff):
+        for j in range(2, m):
+            counts.setdefault((row[j - 2], row[j - 1]), []).append(row[j])
+    checked = 0
+    for (prev, cur), nxts in counts.items():
+        if len(nxts) < 400:
+            continue
+        nbrs = np.nonzero(adj[cur])[0]
+        expected = oracle.node2vec_probs(adj, cur, prev, p, q)
+        freq = np.array([(np.array(nxts) == nb).mean() for nb in nbrs])
+        np.testing.assert_allclose(
+            freq, expected, atol=4.5 * np.sqrt(0.25 / len(nxts))
+        )
+        checked += 1
+    assert checked >= 3
