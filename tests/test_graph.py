@@ -249,3 +249,74 @@ def test_karate_load(karate_edg):
     assert g.num_nodes == 34
     # 78 lines, one duplicate pair (9-33) -> 77 unique undirected edges
     assert g.num_edges == 154
+
+
+class TestEdgesSymmetric:
+    """Build-time symmetry detection (`ops/layout.edges_symmetric`)."""
+
+    def _csr(self, adj):
+        import numpy as np
+
+        adj = np.asarray(adj, dtype=np.float32)
+        rows, cols = np.nonzero(adj)
+        deg = np.bincount(rows, minlength=adj.shape[0])
+        indptr = np.concatenate([[0], np.cumsum(deg)])
+        return indptr, cols, adj[rows, cols]
+
+    def test_symmetric_weighted(self):
+        import numpy as np
+
+        from pecanpy_tpu.ops.layout import edges_symmetric
+
+        rng = np.random.default_rng(0)
+        w = rng.uniform(0.1, 2.0, (12, 12))
+        adj = np.triu(w, 1)
+        adj = adj + adj.T
+        adj[adj < 1.0] = 0.0
+        assert edges_symmetric(*self._csr(adj))
+
+    def test_asymmetric_weight_detected(self):
+        import numpy as np
+
+        from pecanpy_tpu.ops.layout import edges_symmetric
+
+        adj = np.zeros((4, 4), np.float32)
+        adj[0, 1] = adj[1, 0] = 1.0
+        adj[2, 3] = 1.0
+        adj[3, 2] = 2.0  # both directions exist, weights differ
+        assert not edges_symmetric(*self._csr(adj))
+
+    def test_missing_reverse_edge_detected(self):
+        import numpy as np
+
+        from pecanpy_tpu.ops.layout import edges_symmetric
+
+        adj = np.zeros((3, 3), np.float32)
+        adj[0, 1] = adj[1, 0] = 1.0
+        adj[1, 2] = 1.0  # no 2 -> 1
+        assert not edges_symmetric(*self._csr(adj))
+
+    def test_empty_graph_symmetric(self):
+        import numpy as np
+
+        from pecanpy_tpu.ops.layout import edges_symmetric
+
+        assert edges_symmetric(
+            np.zeros(5, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.float32),
+        )
+
+    def test_device_csr_records_flag(self):
+        import numpy as np
+
+        from pecanpy_tpu.ops.layout import build_device_csr
+
+        adj = np.zeros((4, 4), np.float32)
+        adj[0, 1] = adj[1, 0] = 1.0
+        g = build_device_csr(*self._csr(adj))
+        assert g.symmetric
+        adj[2, 3] = 1.0
+        g2 = build_device_csr(*self._csr(adj))
+        assert not g2.symmetric
+        g3 = build_device_csr(*self._csr(adj), symmetric=True)  # override
+        assert g3.symmetric
