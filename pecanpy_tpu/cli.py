@@ -36,8 +36,10 @@ def parse_args(argv=None):
     parser.add_argument(
         "--task",
         default="pecanpy",
-        choices=["pecanpy", "tocsr", "todense"],
-        help="Pipeline to run: full embedding, or graph format conversion.",
+        choices=["pecanpy", "tocsr", "todense", "walks"],
+        help="Pipeline to run: full embedding, graph format conversion, "
+        "or `walks` to write the raw random walks (one space-separated "
+        "node-ID walk per line) for external training.",
     )
     parser.add_argument(
         "--mode",
@@ -318,6 +320,18 @@ def main(argv=None):
     if g is None:  # conversion task
         return
     preprocess(g)
+
+    if args.task == "walks":
+        # raw-walk export (capability beyond the reference CLI): device
+        # walks mapped to node-ID strings, one walk per line, cut at the
+        # effective length
+        walks = Timer("generate walks", args.verbose)(g.simulate_walks)(
+            args.num_walks, args.walk_length
+        )
+        with open(args.output, "w", encoding="utf-8") as f:
+            for walk in walks:
+                f.write(" ".join(walk) + "\n")
+        return
 
     if args.devices is not None and args.devices > 1:
         embeddings = g.embed(

@@ -129,3 +129,26 @@ def test_cli_table_dtype_bf16(tmp_path, karate_edg):
     z = np.load(out)
     assert z["data"].shape == (34, 8)
     assert np.isfinite(z["data"]).all()
+
+
+def test_cli_walks_task(tmp_path, karate_edg):
+    """--task walks writes one node-ID walk per line; every consecutive
+    pair is a real edge."""
+    from pecanpy_tpu import cli, graph
+
+    out = tmp_path / "karate.walks"
+    cli.main([
+        "--input", karate_edg, "--output", str(out),
+        "--task", "walks", "--walk-length", "6", "--num-walks", "2",
+        "--random_state", "0",
+    ])
+    adj = graph.AdjlstGraph()
+    adj.read(karate_edg, weighted=False, directed=False)
+    idmap = {nid: i for i, nid in enumerate(adj.nodes)}
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == 34 * 2
+    for line in lines:
+        toks = line.split()
+        assert 1 <= len(toks) <= 7
+        for a, b in zip(toks, toks[1:]):
+            assert idmap[b] in adj._adj[idmap[a]], f"non-edge {a}->{b}"
