@@ -663,16 +663,21 @@ def train_streaming(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 100,
     max_steps: Optional[int] = None,
+    cache_walks_bytes: Optional[int] = None,
 ) -> jax.Array:
-    """Two-pass streaming trainer: walks are regenerated, never stored.
+    """Two-pass streaming trainer: walks regenerated OR device-cached.
 
-    On TPU the walk engine is ~25x faster than SGNS training, so for
-    corpora that don't fit comfortably on device the cheapest storage for
-    walks is *no storage*: pass 1 sweeps the walk stream once to build the
-    vocabulary statistics (token counts -> subsampling probabilities and
-    the negative table, exactly what gensim's vocab scan does), then each
-    epoch regenerates the identical stream (same key tree) and trains on
-    it chunk by chunk.
+    Pass 1 sweeps the walk stream once to build the vocabulary
+    statistics (token counts -> subsampling probabilities and the
+    negative table, exactly what gensim's vocab scan does); each epoch
+    then trains on the identical stream. Where that stream comes from is
+    a memory/compute trade: by default the vocab pass *caches* the walk
+    chunks on device as they arrive (the full default 1M-node corpus is
+    ~3.2 GB — cheap next to regenerating it, which on hub graphs costs
+    as much as a training epoch), and later passes replay the cache; if
+    the budget is exceeded mid-pass the cache is dropped and every pass
+    regenerates from the (deterministic, same key tree) generator as
+    before. Either way the values streamed are identical.
 
     Args:
         walk_chunks: callable ``(epoch_or_pass: int) -> iterator`` over
@@ -683,13 +688,44 @@ def train_streaming(
         checkpoint_dir / checkpoint_every / max_steps: same contract as
             ``train`` — resume replays the (deterministic) walk-chunk
             cursor, so an interrupted run continues bit-exactly.
+        cache_walks_bytes: device-byte budget for the walk cache. None
+            resolves to 4 GiB (override via env
+            ``PECANPY_TPU_WALK_CACHE_MB``); 0 disables caching.
 
     Returns:
         [N, dim] float32 input-embedding matrix, row i = node i.
     """
+    import os
+
     seed = config.seed if config.seed is not None else 0
     key = jax.random.PRNGKey(seed)
     k_init, k_train = jax.random.split(key)
+
+    if cache_walks_bytes is None:
+        cache_walks_bytes = (
+            int(os.environ.get("PECANPY_TPU_WALK_CACHE_MB", "4096"))
+            * (1 << 20)
+        )
+    cache: Optional[list] = [] if cache_walks_bytes > 0 else None
+    cached_bytes = 0
+
+    def stream(pass_idx):
+        nonlocal cache, cached_bytes
+        if cache is not None and pass_idx >= 0:
+            return iter(cache)
+
+        def first_pass():
+            nonlocal cache, cached_bytes
+            for chunk_pair in walk_chunks(pass_idx):
+                if cache is not None:
+                    cached_bytes += sum(a.nbytes for a in chunk_pair)
+                    if cached_bytes > cache_walks_bytes:
+                        cache = None  # over budget: regenerate instead
+                    else:
+                        cache.append(chunk_pair)
+                yield chunk_pair
+
+        return first_pass()
 
     @jax.jit
     def count_chunk(counts, walks, eff_len):
@@ -699,7 +735,7 @@ def train_streaming(
         )
 
     counts = jnp.zeros(num_nodes, dtype=jnp.float32)
-    for walks, eff_len in walk_chunks(-1):
+    for walks, eff_len in stream(-1):
         counts = count_chunk(counts, walks, eff_len)
     keep_prob = _keep_probs(counts, config.sample)
     neg_table = jnp.asarray(
@@ -740,7 +776,7 @@ def train_streaming(
     for epoch in range(config.epochs):
         if stop:
             break
-        for walks, eff_len in walk_chunks(epoch):
+        for walks, eff_len in stream(epoch):
             if stop:
                 break
             chunk = resolve_batch_walks(config, num_nodes, walks.shape[1])

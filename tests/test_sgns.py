@@ -286,3 +286,28 @@ def test_negative_pool_kmajor_oracle(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=3e-6
         )
+
+
+def test_streaming_walk_cache_equivalence():
+    """Device-cached walk replay must be bit-identical to regeneration
+    (same chunks either way), including across epochs."""
+    import jax.numpy as jnp
+
+    adj = two_clique_graph()
+    ids = [str(i) for i in range(adj.shape[0])]
+    g = pecanpy.SparseOTF.from_mat(adj, ids, p=1, q=1, random_state=4)
+    base_key = g._base_key()
+
+    def walk_chunks(_pass):
+        return g._walk_chunks(num_walks=4, walk_length=8, base_key=base_key)
+
+    config = sgns.SGNSConfig(dim=8, window=3, epochs=2, seed=0)
+    outs = [
+        np.asarray(
+            sgns.train_streaming(
+                walk_chunks, g.num_nodes, config, cache_walks_bytes=cb
+            )
+        )
+        for cb in (0, None)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
