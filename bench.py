@@ -99,7 +99,7 @@ def main():
     from pecanpy_tpu.ops import sampling, transition
     from pecanpy_tpu.ops.layout import build_device_csr
 
-    n = 1_000_000
+    n = int(os.environ.get("BENCH_NODES", 1_000_000))
     avg_deg = 16
     p, q = 0.5, 2.0
     walkers = int(os.environ.get("BENCH_WALKERS", 131_072))
