@@ -280,15 +280,18 @@ def trial_block_fused(
         )
         uacc.append(jax.random.uniform(k_acc, (b,)))
 
-    b_pad = -(-b // LANES) * LANES
-    grid = (b_pad // LANES,)
+    # narrower grid steps once the operand set widens (3-channel rows /
+    # 3+ trials blew Mosaic's 16M scoped-vmem stack at 512 lanes)
+    lanes = LANES if (nchan * dpad <= 256 and trials <= 2) else LANES // 2
+    b_pad = -(-b // lanes) * lanes
+    grid = (b_pad // lanes,)
 
     def col(arr, dtype):
         return _pad_lanes(arr.astype(dtype)[:, None], b_pad)
 
     def lane_spec(width):
         return pl.BlockSpec(
-            (LANES, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (lanes, width), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
 
     row_spec = lane_spec(nchan * dpad)
