@@ -169,6 +169,12 @@ def generate_walks_amortized(
     """
     if undirected is None:
         undirected = graph.symmetric
+    if os.environ.get("PECANPY_TPU_RBG", "0") == "1":
+        # derive an rbg-implementation key (TPU-native PRNG, much
+        # cheaper per draw than threefry) from the incoming key; the
+        # whole round loop below inherits it through split/fold_in
+        data = jax.random.key_data(key).astype(jnp.uint32)
+        key = jax.random.key(data[0] ^ (data[1] << 7), impl="rbg")
     b = start.shape[0]
     sentinel = graph.num_nodes
     alpha_np = max(1.0, 1.0 / q)  # bound over non-return candidates
