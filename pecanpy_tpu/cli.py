@@ -324,13 +324,28 @@ def main(argv=None):
     if args.task == "walks":
         # raw-walk export (capability beyond the reference CLI): device
         # walks mapped to node-ID strings, one walk per line, cut at the
-        # effective length
-        walks = Timer("generate walks", args.verbose)(g.simulate_walks)(
-            args.num_walks, args.walk_length
-        )
-        with open(args.output, "w", encoding="utf-8") as f:
-            for walk in walks:
-                f.write(" ".join(walk) + "\n")
+        # effective length. Chunks stream straight to the file — the
+        # full corpus (810M tokens at the default 1M-node workload) is
+        # never materialized as host Python lists.
+        if args.devices is not None and args.devices > 1:
+            warnings.warn(
+                "--task walks runs single-device; --devices is ignored "
+                "(use the default embedding task for multi-device runs)",
+                stacklevel=2,
+            )
+
+        @Timer("generate walks", args.verbose)
+        def export_walks():
+            ids = g.nodes
+            with open(args.output, "w", encoding="utf-8") as f:
+                for walks, eff in g._walk_chunks(
+                    args.num_walks, args.walk_length, g._base_key()
+                ):
+                    for row, n in zip(np.asarray(walks), np.asarray(eff)):
+                        f.write(" ".join(ids[node] for node in row[:n]))
+                        f.write("\n")
+
+        export_walks()
         return
 
     if args.devices is not None and args.devices > 1:

@@ -191,7 +191,10 @@ def generate_walks_amortized(
     col1 = jnp.where(alive0, first, start)
     eff0 = jnp.where(alive0, walk_length + 1, 1).astype(jnp.int32)
     if walk_length == 1:
-        return jnp.stack([start, col1], axis=1), eff0
+        walks1 = jnp.stack([start, col1], axis=1)
+        if return_rounds:
+            return walks1, eff0, jnp.int32(0)
+        return walks1, eff0
 
     col1_rows = graph.gather_rows(col1)
     has1 = graph.rows_nbr(col1_rows)[:, 0] != sentinel

@@ -46,8 +46,6 @@ def _want_cdf(mode, max_degree: int) -> bool:
         return False
     if os.environ.get("PECANPY_TPU_AMORTIZED", "1") in ("0", "false"):
         return False
-    import numpy as np
-
     budget = (
         int(os.environ.get("PECANPY_TPU_CDF_BUDGET_MB", "2048")) * (1 << 20)
     )
@@ -86,7 +84,8 @@ class _DenseModeBase(Base, DenseGraph):
     def _build_device_graph(self) -> DeviceCSR:
         import numpy as np
 
-        deg_max = int((np.asarray(self.data) != 0).sum(axis=1).max())
+        nonzero_per_row = (np.asarray(self.data) != 0).sum(axis=1)
+        deg_max = int(nonzero_per_row.max()) if nonzero_per_row.size else 0
         return device_csr_from_dense(
             self.data,
             gamma=self.gamma,

@@ -150,6 +150,32 @@ def build_negative_table(
     return table
 
 
+def _stripe_bases(k_neg: int, bt: int, m_pool: int) -> list:
+    """Static per-stripe base offsets into the negative pool.
+
+    Stripe k of token n reads pool slot ``(bases[k] + n) % m_pool``. The
+    bases must be pairwise distinct mod m_pool so a token's K negatives
+    land on K distinct pool slots (the property the original flat
+    ``(s + off) % M`` assignment had). The plain ``k * BT`` base aliases
+    whenever ``m_pool | d * BT`` for a stripe distance d < K — e.g.
+    BT == m_pool makes all K negatives of every token the SAME slot,
+    silently degrading training. Start each base at ``k * BT + k`` and
+    bump past collisions (K << M in practice, so this terminates with
+    distinct bases; a degenerate K >= M pool keeps the raw bases).
+    """
+    bases: list = []
+    if k_neg >= m_pool:  # distinctness impossible; degenerate tiny pool
+        return [(k * bt + k) % m_pool for k in range(k_neg)]
+    used: set = set()
+    for k in range(k_neg):
+        b = (k * bt + k) % m_pool
+        while b in used:
+            b = (b + 1) % m_pool
+        bases.append(b)
+        used.add(b)
+    return bases
+
+
 def _pair_counts_banded(
     comp: jax.Array,
     negs: jax.Array,
@@ -276,14 +302,15 @@ def make_step_body(
             ]  # [M]
             off = jax.random.randint(k_off, (), 0, m_pool)
             pool_r = jnp.roll(pool, -off)  # stripe k, token n: slot
-            # (k * BT + n) % M of pool_r
+            # (bases[k] + n) % M of pool_r
             pool_rows = w_out[pool_r].astype(jnp.float32)  # [M, dim]
             reps = -(-bt // m_pool)
+            bases = _stripe_bases(k_neg, bt, m_pool)
 
             def stripe(arr_m, k):
                 """[BT, ...] view of stripe k of an [M, ...]-indexed
                 table: roll by the stripe's base offset, tile to BT."""
-                rolled = jnp.roll(arr_m, -((k * bt) % m_pool), axis=0)
+                rolled = jnp.roll(arr_m, -bases[k], axis=0)
                 tiled = jnp.broadcast_to(
                     rolled[None], (reps,) + rolled.shape
                 )
@@ -374,7 +401,7 @@ def make_step_body(
         if use_pool:
             # pre-aggregate the negative updates per pool slot, one
             # stripe at a time: stripe k's token n feeds slot
-            # (n + k * BT) % M, so a reshape-sum over the tiling axis
+            # (n + bases[k]) % M, so a reshape-sum over the tiling axis
             # groups by n % M and a roll by the stripe base realigns to
             # slot order. Sums and counts per table row reach the
             # applier unchanged — only grouped; the rolled pool itself
@@ -384,7 +411,7 @@ def make_step_body(
             c_v_flat = jnp.zeros((m_pool,), dtype=jnp.float32)
             c_km = pair_cnt.reshape(bt, k_neg).T  # [K, BT]
             for k in range(k_neg):
-                shift = (k * bt) % m_pool
+                shift = bases[k]
                 z = a_km[k][:, None] * v_flat  # [BT, dim]
                 zp = jnp.pad(z, ((0, pad_bt), (0, 0)))
                 by_mod = jnp.sum(zp.reshape(-1, m_pool, dim), axis=0)

@@ -45,6 +45,7 @@ neighbor hashes, ``ops/hubs.py``) driving exact rejection sampling
 pure fused path (``has_hubs`` is static).
 """
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -425,6 +426,29 @@ def build_device_csr(
             )
         width = max_degree
     dpad = _round_up(max(width, 1), LANE)
+
+    if degree_cap is None:
+        # Uncapped layouts pad EVERY node to the true max degree — one
+        # skewed hub silently demands O(N * max_degree) fused memory
+        # long before the PreComp E * 64 guard can trip. Hard byte
+        # budget (same guard class as the hub int32 address checks);
+        # the reference's check_mode heuristics give the same advice.
+        n_channels = 2 + int(with_thresholds) + int(with_cdf)
+        fused_bytes = num_nodes * dpad * n_channels * 4
+        budget = (
+            int(os.environ.get("PECANPY_TPU_FUSED_BUDGET_MB", "8192"))
+            * (1 << 20)
+        )
+        if fused_bytes > budget:
+            raise ValueError(
+                f"uncapped fused layout needs {num_nodes} nodes x {dpad} "
+                f"slots x {n_channels} channels = {fused_bytes / 2**30:.1f} "
+                f"GiB (> {budget / 2**30:.1f} GiB budget, "
+                "PECANPY_TPU_FUSED_BUDGET_MB). The max degree "
+                f"({true_max}) is too skewed for degree_cap=None — use "
+                "SparseOTF (hub-capable, the reference's mode-selection "
+                "heuristics give the same advice) or set a degree_cap."
+            )
 
     thresholds = np.concatenate(
         [_segment_stats(indptr, data, gamma), np.ones(1, dtype=np.float32)]

@@ -23,7 +23,15 @@ Embeddings = np.ndarray
 # Device-side: any jax.Array
 JaxArray = Any
 
+# Walk-callback aliases (reference: ``src/pecanpy/typing.py:19-21``).
+# ``Base.get_has_nbrs`` / ``Base.get_move_forward`` return these shapes;
+# the batch engine itself never uses scalar callbacks.
+HasNbrs = Callable[[int], bool]
+MoveForward = Callable[..., int]
+
 __all__ = [
+    "HasNbrs",
+    "MoveForward",
     "Any",
     "Callable",
     "Dict",

@@ -222,12 +222,31 @@ def test_negative_pool_quality(rng):
     assert f1 >= 0.9, f"micro-F1 {f1:.3f} below 0.9 with pooled negatives"
 
 
-def test_negative_pool_kmajor_oracle(rng):
+def test_stripe_bases_distinct():
+    """Stripe bases must be pairwise distinct mod M — including the
+    aliasing case M | BT where the raw k*BT bases all collapse to 0
+    (e.g. batch_walks=512, walk_length=63: BT = 32768 = default pool,
+    which made all 5 negatives of every token the SAME pool slot)."""
+    for k_neg, bt, m in [
+        (5, 32768, 32768),  # BT == M: raw bases all zero
+        (5, 16384, 32768),  # M | 2*BT: raw bases pair up
+        (5, 40, 32),
+        (3, 7, 8),
+        (4, 1000, 4096),
+    ]:
+        bases = sgns._stripe_bases(k_neg, bt, m)
+        assert len(set(bases)) == k_neg, (k_neg, bt, m, bases)
+        assert all(0 <= b < m for b in bases)
+
+
+@pytest.mark.parametrize("wb,t,m_pool", [(4, 10, 32), (4, 8, 32)])
+def test_negative_pool_kmajor_oracle(rng, wb, t, m_pool):
     """Pooled path vs the DIRECT path forced onto the identical k-major
     negative assignment: per-id update totals must match, so the final
     tables agree to float-reorder tolerance. Catches any misalignment in
     the stripe roll/reshape-sum slot math (which a constant negative
-    table cannot see)."""
+    table cannot see). The (4, 8, 32) case has BT == M — the stripe
+    aliasing regression."""
     import dataclasses as dc
     from unittest import mock
 
@@ -235,7 +254,7 @@ def test_negative_pool_kmajor_oracle(rng):
     import jax.numpy as jnp
 
     n, dim = 25, 8
-    wb, t, k_neg, m_pool = 4, 10, 3, 32  # r_neg = 120 > M: pooled
+    k_neg = 3  # r_neg > M in both cases: pooled
     bt = wb * t
     walks = jnp.asarray(rng.integers(0, n, (wb, t), dtype=np.int32))
     eff = jnp.full((wb,), t, dtype=jnp.int32)
@@ -255,9 +274,11 @@ def test_negative_pool_kmajor_oracle(rng):
     pool = neg_table[jax.random.randint(k_pool, (m_pool,), 0, n)]
     off = jax.random.randint(k_off, (), 0, m_pool)
     pool_r = jnp.roll(pool, -off)
+    bases = jnp.asarray(
+        sgns._stripe_bases(k_neg, bt, m_pool), dtype=jnp.int32
+    )
     f = (
-        jnp.arange(k_neg, dtype=jnp.int32)[:, None] * bt
-        + jnp.arange(bt, dtype=jnp.int32)[None, :]
+        bases[:, None] + jnp.arange(bt, dtype=jnp.int32)[None, :]
     ) % m_pool
     negs_kmajor = pool_r[f].T.reshape(wb, t, k_neg)
 

@@ -223,3 +223,27 @@ def test_precomp_wide_degree_fallback(rng):
         )
         checked_wide += 1
     assert checked_wide >= 1, "no high-count transitions through the hub"
+
+
+def test_uncapped_fused_memory_guard(monkeypatch):
+    """degree_cap=None on a skewed graph must raise before allocating the
+    O(N * max_degree) fused table (a synthetic 100k-degree hub would pad
+    every row to 100k slots)."""
+    import scipy.sparse as sp
+
+    n = 100_001
+    hub_deg = n - 1
+    # star graph: node 0 adjacent to everyone (degree 100k)
+    rows = np.concatenate([np.zeros(hub_deg, np.int64), np.arange(1, n)])
+    cols = np.concatenate([np.arange(1, n), np.zeros(hub_deg, np.int64)])
+    mat = sp.csr_matrix(
+        (np.ones(rows.size, np.float32), (rows, cols)), shape=(n, n)
+    )
+    monkeypatch.setenv("PECANPY_TPU_FUSED_BUDGET_MB", "1024")
+    g = pecanpy.PreComp(p=0.5, q=2.0, random_state=0)
+    g.indptr = mat.indptr.astype(np.uint32)
+    g.indices = mat.indices.astype(np.uint32)
+    g.data = mat.data
+    g.set_node_ids(None, implicit_ids=True, num_nodes=n)
+    with pytest.raises(ValueError, match="uncapped fused layout"):
+        g.get_device_graph()
