@@ -8,12 +8,52 @@ multi-label one-vs-rest logistic regression, top-k prediction, micro-F1
 (node2vec paper §4.3). Also reports the random-embedding floor so the
 number is interpretable.
 
-Run: python benchmarks/bench_quality.py [n_nodes]
+``--trainer sequential`` scores the native SEQUENTIAL trainer
+(``native/seqsgns.cpp`` — gensim's exact loop: per-pair immediate
+updates, reduced windows, subsampling, collision skip) on the SAME
+device-generated walks: the head-to-head that settles whether the TPU
+trainer's capped-sum batching loses quality vs sequential SGD.
+
+Run: python benchmarks/bench_quality.py [n_nodes] [--trainer sequential]
 """
 import sys
 import time
 
 import numpy as np
+
+
+def embed_sequential(g, dim, num_walks, walk_length, window, epochs, seed):
+    """Walks on device, SGNS on host with gensim's sequential loop."""
+    from pecanpy_tpu.models import sgns
+    from pecanpy_tpu.native.loader import train_sgns_sequential_native
+
+    t0 = time.perf_counter()
+    walks, eff = g.simulate_walks_device(num_walks, walk_length)
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    print(f"walks: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    n = g.num_nodes
+    counts = np.zeros(n)
+    for row, e in zip(walks, eff):
+        np.add.at(counts, row[:e], 1.0)
+    keep = np.asarray(sgns._keep_probs(counts.astype(np.float32), 1e-3))
+    neg_table = sgns.build_negative_table(counts, seed=seed)
+    rng_init = np.random.default_rng(seed)
+    w_in = rng_init.uniform(-0.5 / dim, 0.5 / dim, (n, dim)).astype(
+        np.float32
+    )
+    w_out = np.zeros((n, dim), dtype=np.float32)
+    t0 = time.perf_counter()
+    pairs = train_sgns_sequential_native(
+        walks, eff, w_in, w_out, keep, neg_table,
+        window, 5, 0.025, 0.0001, float(eff.sum()) * epochs, epochs, seed,
+    )
+    print(
+        f"sequential train: {pairs} pairs, "
+        f"{time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    return w_in
 
 
 def main():
@@ -22,7 +62,9 @@ def main():
     from pecanpy_tpu.graph import SparseGraph
     from pecanpy_tpu.utils import evaluate
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_312
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    n = int(pos[0]) if pos else 10_312
+    sequential = "--trainer" in sys.argv and "sequential" in sys.argv
     c = 39
     t0 = time.perf_counter()
     indptr, indices, data, labels = evaluate.overlapping_sbm(
@@ -48,10 +90,16 @@ def main():
     import os
 
     table_dtype = os.environ.get("BENCH_TABLE_DTYPE", "float32")
-    emb = g.embed(
-        dim=128, num_walks=10, walk_length=80, window_size=10,
-        table_dtype=table_dtype,
-    )
+    if sequential:
+        emb = embed_sequential(
+            g, dim=128, num_walks=10, walk_length=80, window=10,
+            epochs=1, seed=0,
+        )
+    else:
+        emb = g.embed(
+            dim=128, num_walks=10, walk_length=80, window_size=10,
+            table_dtype=table_dtype,
+        )
     t_embed = time.perf_counter() - t0
     print(f"embed: {t_embed:.1f}s", file=sys.stderr)
 
@@ -70,10 +118,11 @@ def main():
         f"eval {time.perf_counter() - t0:.1f}s)",
         file=sys.stderr,
     )
+    trainer = "sequential" if sequential else "tpu"
     print(
         f'{{"metric": "multilabel_micro_f1", "value": {f1:.4f}, '
         f'"unit": "micro-F1", "floor": {f1_rand:.4f}, '
-        f'"embed_seconds": {t_embed:.1f}}}'
+        f'"trainer": "{trainer}", "embed_seconds": {t_embed:.1f}}}'
     )
 
 

@@ -18,6 +18,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [
     os.path.join(_DIR, "edgelist.cpp"),
     os.path.join(_DIR, "hubtables.cpp"),
+    os.path.join(_DIR, "seqsgns.cpp"),
 ]
 _LIB = os.path.join(_DIR, "_edgelist.so")
 
@@ -101,6 +102,28 @@ def _build() -> Optional[ctypes.CDLL]:
     ]
     lib.pp_hub_free.restype = None
     lib.pp_hub_free.argtypes = [ctypes.c_void_p]
+
+    lib.pp_train_sgns_sequential.restype = ctypes.c_longlong
+    lib.pp_train_sgns_sequential.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),  # walks
+        ctypes.POINTER(ctypes.c_int32),  # eff_len
+        ctypes.c_longlong,  # n_walks
+        ctypes.c_longlong,  # t_cols
+        ctypes.POINTER(ctypes.c_float),  # w_in
+        ctypes.POINTER(ctypes.c_float),  # w_out
+        ctypes.c_longlong,  # n_nodes
+        ctypes.c_longlong,  # dim
+        ctypes.POINTER(ctypes.c_float),  # keep_prob
+        ctypes.POINTER(ctypes.c_int32),  # neg_table
+        ctypes.c_longlong,  # neg_table_size
+        ctypes.c_int,  # window
+        ctypes.c_int,  # negative
+        ctypes.c_float,  # alpha
+        ctypes.c_float,  # min_alpha
+        ctypes.c_double,  # total_tokens
+        ctypes.c_int,  # epochs
+        ctypes.c_uint64,  # seed
+    ]
     return lib
 
 
@@ -178,6 +201,69 @@ def parse_edgelist_native(
         return indptr, indices, data, ids
     finally:
         lib.pp_free(handle)
+
+
+def train_sgns_sequential_native(
+    walks: np.ndarray,
+    eff_len: np.ndarray,
+    w_in: np.ndarray,
+    w_out: np.ndarray,
+    keep_prob: np.ndarray,
+    neg_table: np.ndarray,
+    window: int,
+    negative: int,
+    alpha: float,
+    min_alpha: float,
+    total_tokens: float,
+    epochs: int,
+    seed: int,
+) -> int:
+    """Train ``w_in``/``w_out`` IN PLACE with gensim's sequential SGNS
+    loop (``native/seqsgns.cpp``); returns the trained pair count.
+
+    Evidence tool: runs the exact per-pair math the TPU trainer batches
+    (``tests/test_gensim_parity.py``) but with sequential application,
+    so capped-sum batching can be scored against sequential SGD on the
+    same walks (``benchmarks/bench_quality.py``).
+    """
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native sequential SGNS trainer unavailable")
+    walks = np.ascontiguousarray(walks, dtype=np.int32)
+    eff_len = np.ascontiguousarray(eff_len, dtype=np.int32)
+    keep_prob = np.ascontiguousarray(keep_prob, dtype=np.float32)
+    neg_table = np.ascontiguousarray(neg_table, dtype=np.int32)
+    if not (
+        w_in.dtype == np.float32
+        and w_in.flags.c_contiguous
+        and w_out.dtype == np.float32
+        and w_out.flags.c_contiguous
+    ):
+        raise ValueError("w_in/w_out must be C-contiguous float32")
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    return int(
+        lib.pp_train_sgns_sequential(
+            walks.ctypes.data_as(i32p),
+            eff_len.ctypes.data_as(i32p),
+            walks.shape[0],
+            walks.shape[1],
+            w_in.ctypes.data_as(f32p),
+            w_out.ctypes.data_as(f32p),
+            w_in.shape[0],
+            w_in.shape[1],
+            keep_prob.ctypes.data_as(f32p),
+            neg_table.ctypes.data_as(i32p),
+            neg_table.size,
+            int(window),
+            int(negative),
+            float(alpha),
+            float(min_alpha),
+            float(total_tokens),
+            int(epochs),
+            int(seed),
+        )
+    )
 
 
 def build_hub_tables_native(indptr, indices, data, hub_ids):
