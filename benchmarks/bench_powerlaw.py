@@ -56,7 +56,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     exponent = float(sys.argv[2]) if len(sys.argv) > 2 else 2.2
     p, q = 0.5, 2.0
-    walkers = int(os.environ.get("BENCH_WALKERS", 131_072))
+    walkers = int(os.environ.get("BENCH_WALKERS", 32_768))
     walk_length = int(os.environ.get("BENCH_WALK_LENGTH", 80))
     cap = 128
 

@@ -29,6 +29,12 @@ from pecanpy_tpu.typing import Embeddings
 from pecanpy_tpu.wrappers import Timer
 
 DEFAULT_WALKER_BATCH = 131072
+# Hub graphs walk fastest at smaller batches: the amortized engine's
+# descriptor-bound gathers run no faster with more lanes, while the
+# stall-tail inflation (max over lanes of summed geometric retries)
+# grows with the batch. Measured on the 1M-node Chung-Lu bench
+# (steps/s): 16k 8.16M, 32k 8.63M, 65k 8.31M, 131k 7.98M, 262k 7.12M.
+DEFAULT_HUB_WALKER_BATCH = 32768
 
 
 class Base(BaseGraph):
@@ -45,7 +51,9 @@ class Base(BaseGraph):
         gamma: node2vec+ noise-threshold std multiplier.
         random_state: seed for start-node shuffling and the device RNG tree.
         walker_batch: walkers advanced per device dispatch (compiled batch
-            size; larger = better device utilization, more memory).
+            size). None resolves per graph: 131072 on fused-path graphs,
+            32768 on hub graphs (the amortized engine's measured sweet
+            spot — see DEFAULT_HUB_WALKER_BATCH).
         degree_cap: nodes above this degree are served by the O(E) hub
             structures + rejection sampling instead of fused rows
             (``ops/hubs.py``); None pads fused rows to the true max degree.
@@ -60,7 +68,7 @@ class Base(BaseGraph):
         extend: bool = False,
         gamma: float = 0,
         random_state: Optional[int] = None,
-        walker_batch: int = DEFAULT_WALKER_BATCH,
+        walker_batch: Optional[int] = None,
         degree_cap: Optional[int] = DEFAULT_DEGREE_CAP,
     ):
         super().__init__()
@@ -190,6 +198,14 @@ class Base(BaseGraph):
             )
         return self._walk_fn_cache[walk_length]
 
+    def _resolved_walker_batch(self) -> int:
+        """Walkers per device dispatch; None resolves per graph type."""
+        if self.walker_batch is not None:
+            return self.walker_batch
+        if self.get_device_graph().has_hubs:
+            return DEFAULT_HUB_WALKER_BATCH
+        return DEFAULT_WALKER_BATCH
+
     def _seed(self) -> int:
         """Concrete seed for this instance, resolved exactly once.
 
@@ -237,7 +253,7 @@ class Base(BaseGraph):
 
         starts = self._start_nodes(num_walks)
         total = starts.size
-        chunk = min(self.walker_batch, total)
+        chunk = min(self._resolved_walker_batch(), total)
         n_chunks = -(-total // chunk)
         t0 = time.perf_counter()
         for i, lo in enumerate(range(0, total, chunk)):

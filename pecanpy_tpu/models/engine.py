@@ -116,6 +116,7 @@ def generate_walks_amortized(
     round_cap_factor: int = 40,
     return_rounds: bool = False,
     undirected: Optional[bool] = None,
+    unroll: int = 4,
 ):
     """Hub-graph OTF walker amortizing rejection retries ACROSS steps.
 
@@ -156,6 +157,13 @@ def generate_walks_amortized(
             rounds; lanes still short of L columns then emit their
             resting node (reachable only at pathological p/q).
         return_rounds: also return the round count taken (diagnostics).
+        unroll: rounds per ``while_loop`` iteration. The pending-count
+            reduction and loop bookkeeping cost ~1 ms per iteration at
+            walk batch sizes; running 2 rounds per iteration halves it
+            at the price of at most ``unroll - 1`` extra no-op rounds in
+            the drain tail (a no-advance round leaves every lane's
+            state bit-identical). Each unrolled round keeps its own
+            ``fold_in`` key, so the sampled law is unchanged.
         undirected: None (default) takes ``graph.symmetric`` — the
             build-time symmetry detection. Promise that edge weights are
             symmetric
@@ -286,9 +294,9 @@ def generate_walks_amortized(
         pending, t = state[-2], state[-1]
         return (pending > 0) & (t < round_cap)
 
-    def body(state):
+    def round_body(state):
         (cur, prev, cur_rows, prev_rows, step, alive, eff, buf,
-         theta, wp, _, t) = state
+         theta, wp, pending, t) = state
         rkey = jax.random.fold_in(key_rounds, t)
         needs = alive & (step <= walk_length)
         x, ok, wx = trial_fn(
@@ -322,7 +330,18 @@ def generate_walks_amortized(
             theta = jnp.where(adv, theta_n, theta)
             wp = jnp.where(adv, wp_n, wp)
         return (new_cur, new_prev, nxt_rows, new_prev_rows, step, alive,
-                eff, buf, theta, wp, pending_count(alive, step), t + 1)
+                eff, buf, theta, wp, pending, t + 1)
+
+    unroll = max(int(unroll), 1)
+
+    def body(state):
+        # `unroll` rounds per loop iteration: the pending reduction (and
+        # its psum under edge partitioning) runs once per iteration, not
+        # once per round; the drain tail costs at most unroll - 1 no-op
+        # rounds (state is bit-stable once nothing is pending)
+        for _ in range(unroll):
+            state = round_body(state)
+        return state[:-2] + (pending_count(state[5], state[4]), state[-1])
 
     state = (col1, start, col1_rows, start_rows, step0, alive, eff, buf,
              theta, wp, pending_count(alive, step0), jnp.int32(0))

@@ -158,10 +158,12 @@ class _AmortizedOTFMixin:
             return super()._make_walk_runner(walk_length)
         p, q, extend = self.p, self.q, self.extend
         trials = int(os.environ.get("PECANPY_TPU_AMORTIZED_TRIALS", "2"))
+        unroll = int(os.environ.get("PECANPY_TPU_UNROLL", "4"))
 
         def run(dg, aux, start, key):
             return engine.generate_walks_amortized(
-                dg, start, key, walk_length, p, q, extend, trials=trials
+                dg, start, key, walk_length, p, q, extend, trials=trials,
+                unroll=unroll,
             )
 
         return run
