@@ -62,9 +62,14 @@ def main():
     from pecanpy_tpu.graph import SparseGraph
     from pecanpy_tpu.utils import evaluate
 
-    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    args = sys.argv[1:]
+    sequential = "--trainer" in args and "sequential" in args
+    pos = [
+        a
+        for i, a in enumerate(args)
+        if not a.startswith("-") and (i == 0 or args[i - 1] != "--trainer")
+    ]
     n = int(pos[0]) if pos else 10_312
-    sequential = "--trainer" in sys.argv and "sequential" in sys.argv
     c = 39
     t0 = time.perf_counter()
     indptr, indices, data, labels = evaluate.overlapping_sbm(

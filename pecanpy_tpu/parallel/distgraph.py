@@ -234,6 +234,58 @@ class ShardedDeviceCSR(DeviceCSR):
         return jax.lax.bitcast_convert_type(rows_i, jnp.float32)
 
 
+def exchange_cost_model(b_local: int, n_shards: int, width: int) -> dict:
+    """Per-shard bytes moved by ONE row fetch under each exchange.
+
+    psum ("fetch by all-reduce", ``_gather_rows_psum``):
+      * all_gather of the ids: (S - 1) * b_local * 4 B received;
+      * ring all-reduce of the [S * b_local, W] masked rows: each shard
+        sends/receives ~2 * (S-1)/S * (S * b_local) * W * 4 B.
+      Total ~ 2 * S * b_local * W * 4 — the full global batch's rows
+      cross every link, regardless of who owns what.
+
+    alltoall (request/response, ``_gather_rows_a2a``):
+      * request a2a: S * cap ids out (+ the same in);
+      * reply a2a: S * cap * W lanes each way;
+      with cap ~ b_local / S + 4 * sqrt(b_local / S) slack. Total
+      ~ 2 * (b_local + slack * S) * W * 4 — only the requested rows
+      move, so it beats psum by ~S/(1 + slack overhead).
+
+    The crossover is S >= 2 on bytes; the a2a path additionally pays a
+    per-fetch rank computation ([b_local, S] one-hot cumsum) and a
+    retry ``while_loop``, so ``auto`` requires a 2x modeled advantage
+    (in practice: picks a2a from S >= 4). Virtual-mesh wall times:
+    ``benchmarks/bench_exchange.py`` (CPU collectives are memcpys —
+    the model, not those times, is the ICI-relevant comparison).
+    """
+    per_shard = max(b_local // n_shards, 1)
+    cap = per_shard + 4 * int(np.sqrt(per_shard)) + 8
+    psum_bytes = 4 * (
+        (n_shards - 1) * b_local  # id all_gather
+        + 2 * n_shards * b_local * width  # row all-reduce (ring)
+    )
+    a2a_bytes = 4 * (
+        2 * n_shards * cap  # request ids out + in
+        + 2 * n_shards * cap * width  # replies out + in
+    )
+    pick = "alltoall" if a2a_bytes * 2 < psum_bytes else "psum"
+    return {
+        "psum_bytes": int(psum_bytes),
+        "a2a_bytes": int(a2a_bytes),
+        "capacity": int(cap),
+        "pick": pick,
+    }
+
+
+def resolve_exchange(
+    exchange: str, b_local: int, n_shards: int, width: int
+) -> str:
+    """Resolve "auto" to a concrete exchange via the cost model."""
+    if exchange != "auto":
+        return exchange
+    return exchange_cost_model(b_local, n_shards, width)["pick"]
+
+
 @dataclasses.dataclass(frozen=True)
 class ShardMeta:
     """Per-table rows-per-shard of a sharded graph (static plan)."""
@@ -309,7 +361,7 @@ def distributed_walk_fn(
     q: float = 1.0,
     extend: bool = False,
     mode: str = "SparseOTF",
-    exchange: str = "psum",
+    exchange: str = "auto",
     capacity: Optional[int] = None,
 ):
     """Compiled sharded walk program: starts sharded in, walks sharded out.
@@ -318,12 +370,18 @@ def distributed_walk_fn(
     fetches differ (the collective exchanges above). Hub graphs route
     through the same rejection sampler as single-device walking, with
     its trial fetches collective and its sweep loop psum-synced.
+
+    ``exchange``: "psum", "alltoall", or "auto" (default — picked per
+    batch/mesh shape by ``exchange_cost_model``).
     """
     num_nodes = graph.num_nodes
     n_shards = mesh.shape[DATA_AXIS]
 
     def walk(fused_local, ep_local, hb_local, threshold, starts_local, key):
         b_local = starts_local.shape[0]
+        exch = resolve_exchange(
+            exchange, b_local, n_shards, graph.fused.shape[1]
+        )
         cap = capacity
         if cap is None:
             mean = max(b_local // n_shards, 1)
@@ -342,7 +400,7 @@ def distributed_walk_fn(
             has_hubs=graph.has_hubs,
             symmetric=graph.symmetric,
             global_nodes=num_nodes,
-            exchange=exchange,
+            exchange=exch,
             capacity=cap,
             ep_rows=meta.ep_rows,
             hb_rows=meta.hb_rows,
@@ -408,7 +466,7 @@ def simulate_walks_distributed(
     extend: bool = False,
     mode: str = "SparseOTF",
     seed: Optional[int] = 0,
-    exchange: str = "psum",
+    exchange: str = "auto",
     capacity: Optional[int] = None,
 ):
     """One-call sharded walk generation over an edge-partitioned graph.

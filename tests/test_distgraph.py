@@ -169,3 +169,39 @@ def test_alltoall_second_order_distribution(mesh8, rng):
         )
         checked += 1
     assert checked >= 3
+
+
+def test_exchange_cost_model_and_auto():
+    """The cost model's psum volume scales with shard count while a2a
+    stays ~flat; auto picks psum on tiny meshes, a2a on larger ones."""
+    from pecanpy_tpu.parallel.distgraph import (
+        exchange_cost_model,
+        resolve_exchange,
+    )
+
+    width = 128
+    m2 = exchange_cost_model(4096, 2, width)
+    m8 = exchange_cost_model(4096, 8, width)
+    m16 = exchange_cost_model(4096, 16, width)
+    # psum moves the full global batch's rows: linear in S
+    assert m16["psum_bytes"] > 7 * m2["psum_bytes"] * 0.9
+    # a2a moves only the requested rows (+ slack): near-flat in S
+    assert m16["a2a_bytes"] < 2 * m2["a2a_bytes"]
+    assert m8["pick"] == "alltoall" and m16["pick"] == "alltoall"
+    assert resolve_exchange("psum", 4096, 16, width) == "psum"
+    assert resolve_exchange("auto", 4096, 16, width) == "alltoall"
+
+
+def test_auto_exchange_walks_follow_edges(mesh8, rng):
+    """The default (auto-resolved) exchange samples valid walks."""
+    adj = oracle.random_graph(rng, 16, mean_degree=4.0, weighted=True)
+    graph = device_csr_from_dense(adj)
+    starts = np.tile(np.arange(16, dtype=np.int32), 8)
+    walks, eff = simulate_walks_distributed(
+        graph, mesh8, starts, walk_length=6, p=0.5, q=2.0, seed=3,
+        exchange="auto",
+    )
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    for row, n in zip(walks, eff):
+        for a, b in zip(row[: n - 1], row[1:n]):
+            assert adj[a, b] != 0, f"non-edge {a}->{b}"
