@@ -100,11 +100,22 @@ def run_config(label, config_kwargs, disable_applies=False):
 
 
 def main():
-    run_config("full (defaults)         ", {})
-    run_config("applies disabled        ", {}, disable_applies=True)
-    run_config("negative=1              ", {"negative": 1})
-    run_config("neg_pool off            ", {"neg_pool": 0})
-    run_config("sample off (no subsort) ", {"sample": 0.0})
+    import os
+
+    only = os.environ.get("BISECT_ONLY", "")
+    cases = [
+        ("full (defaults)         ", {}, False),
+        ("applies disabled        ", {}, True),
+        ("negative=1              ", {"negative": 1}, False),
+        ("neg_pool off            ", {"neg_pool": 0}, False),
+        ("sample off (no subsort) ", {"sample": 0.0}, False),
+        ("window=3                ", {"window": 3}, False),
+        ("window=3, no applies    ", {"window": 3}, True),
+    ]
+    for label, kwargs, disable in cases:
+        if only and only not in label:
+            continue
+        run_config(label, kwargs, disable_applies=disable)
 
 
 if __name__ == "__main__":

@@ -50,10 +50,12 @@ def main():
     from pecanpy_tpu.ops import rejection
     from pecanpy_tpu.ops.layout import build_device_csr
 
+    import os
+
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
     n = int(pos[0]) if pos else 1_000_000
     p, q = 0.5, 2.0
-    b = 131_072
+    b = int(os.environ.get("DIAG_LANES", 131_072))
 
     print(f"building {n}-node power-law graph...", file=sys.stderr)
     indptr, indices, data = build_powerlaw_graph(n)

@@ -45,11 +45,19 @@ def main():
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
+    import os
+
+    grid = os.environ.get("SWEEP_GRID", "")
     variants = []
-    for b in (32_768, 65_536):
-        for unroll in (1, 2, 4):
-            for trials in (2,):
-                variants.append((b, trials, unroll))
+    if grid:  # "b,trials,unroll;b,trials,unroll;..."
+        for part in grid.split(";"):
+            b, t, u = (int(x) for x in part.split(","))
+            variants.append((b, t, u))
+    else:
+        for b in (32_768, 65_536):
+            for unroll in (1, 2, 4):
+                for trials in (2,):
+                    variants.append((b, trials, unroll))
     starts = {
         b: jax.numpy.asarray(rng.integers(0, n, b, dtype=np.int32))
         for b in {v[0] for v in variants}

@@ -682,6 +682,29 @@ def _span_len(remaining, step_idx, resume_step, max_steps, checkpoint_every):
     return max(int(span), 1)
 
 
+def _prefetch_iter(it, depth: int = 1):
+    """Yield items while keeping ``depth`` future items already pulled.
+
+    Pulling an item from the walk-chunk generator DISPATCHES its device
+    program (JAX dispatch is async), so a one-deep lookahead keeps the
+    walk program for buffer i+1 queued behind buffer i's training span:
+    the device never idles between buffers, and the per-buffer host sync
+    (the ``eff_len`` fetch) overlaps device execution instead of
+    stalling the pipeline. The yielded values are unchanged — only the
+    dispatch order shifts — so the deterministic chunk-stream contract
+    (and the streaming == materialized bit-equality) is unaffected.
+    """
+    from collections import deque
+
+    buf = deque()
+    for item in it:
+        buf.append(item)
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def train_streaming(
     walk_chunks,
     num_nodes: int,
@@ -770,6 +793,19 @@ def train_streaming(
     )
     total_tokens = float(jnp.sum(counts)) * config.epochs
 
+    # With the device walk cache populated, every buffer's eff_len is
+    # already materialized: fetch them ALL in one concatenated D2H
+    # transfer now instead of one blocking round trip per buffer inside
+    # the training loop (through a tunneled device link each fetch costs
+    # ~75 ms of RTT; the default 1M-node workload has ~300 buffers).
+    host_eff = None
+    if cache is not None and cache:
+        sizes = [int(e.shape[0]) for _, e in cache]
+        host_eff = np.split(
+            np.asarray(jnp.concatenate([e for _, e in cache])),
+            np.cumsum(sizes)[:-1],
+        )
+
     table_dtype = jnp.dtype(config.table_dtype)
     bound = 0.5 / config.dim
     w_in = jax.random.uniform(
@@ -803,7 +839,9 @@ def train_streaming(
     for epoch in range(config.epochs):
         if stop:
             break
-        for walks, eff_len in stream(epoch):
+        for buf_idx, (walks, eff_len) in enumerate(
+            _prefetch_iter(stream(epoch), 1)
+        ):
             if stop:
                 break
             chunk = resolve_batch_walks(config, num_nodes, walks.shape[1])
@@ -811,7 +849,11 @@ def train_streaming(
                 step = _make_span_step(
                     num_nodes, config, use_pallas, chunk
                 )
-            eff_host = np.asarray(eff_len)
+            eff_host = (
+                host_eff[buf_idx]
+                if host_eff is not None and buf_idx < len(host_eff)
+                else np.asarray(eff_len)
+            )
             n_chunks = -(-walks.shape[0] // chunk)
             pad = n_chunks * chunk - walks.shape[0]
             if pad:
