@@ -58,7 +58,7 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def init():
-        dt = jnp.dtype(config.table_dtype)
+        dt = sgns.resolve_table_dtype(config)
         w_in = jax.random.uniform(
             key, (n, config.dim), minval=-0.004, maxval=0.004
         ).astype(dt)

@@ -126,10 +126,11 @@ def parse_args(argv=None):
     )
     parser.add_argument(
         "--table-dtype",
-        choices=["float32", "bfloat16"],
-        default="float32",
-        help="Embedding-table dtype; bfloat16 halves memory/traffic and "
-        "uses stochastic-rounding updates (TPU).",
+        choices=["auto", "float32", "bfloat16"],
+        default="auto",
+        help="Embedding-table dtype. bfloat16 halves memory/traffic and "
+        "uses stochastic-rounding updates; 'auto' (default) picks "
+        "bfloat16 on TPU and float32 elsewhere.",
     )
     parser.add_argument(
         "--streaming",

@@ -333,7 +333,7 @@ class Base(BaseGraph):
         epochs: int = 1,
         verbose: bool = False,
         streaming: Optional[bool] = None,
-        table_dtype: str = "float32",
+        table_dtype: str = "auto",
         n_devices: Optional[int] = None,
         model_parallel: int = 1,
         batch_walks: Optional[int] = None,

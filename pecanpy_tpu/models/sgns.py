@@ -85,12 +85,45 @@ class SGNSConfig:
     # shapes while every pair still sees an exactly unigram-distributed
     # negative. 0 disables (direct per-token draws).
     neg_pool: int = 32768
-    # "float32" or "bfloat16"; bf16 halves table memory and traffic and
-    # relies on stochastic-rounding updates (TPU Pallas path)
-    table_dtype: str = "float32"
+    # "auto" (default), "float32", or "bfloat16". bf16 halves table
+    # memory and the two dominant memory streams of the chunk step
+    # (applier table tiles + per-token row gathers; measured 4.46M ->
+    # 5.28M tokens/s on v5e at micro-F1 parity, 0.506 vs 0.510 on the
+    # BlogCatalog-scale benchmark) and relies on the Pallas
+    # stochastic-rounding applier. "auto" resolves to bfloat16 on TPU
+    # and float32 elsewhere: the non-TPU fallback rounds to nearest,
+    # which at SGD-sized steps silently drops most updates.
+    table_dtype: str = "auto"
     # unused (pre-walk-structured trainer); kept for call compatibility
     batch_pairs: Optional[int] = None
     seed: Optional[int] = None
+
+
+def resolve_table_dtype(config: SGNSConfig) -> jnp.dtype:
+    """Concrete table dtype for this backend.
+
+    ``"auto"`` picks bfloat16 on TPU (where the Pallas applier writes
+    back with stochastic rounding, keeping SGD unbiased) and float32
+    everywhere else. Explicitly requesting bfloat16 off-TPU warns: the
+    fallback applier rounds to nearest, and at lr ~1e-3 the per-step row
+    movement is below the bf16 ulp of typical weights, so most updates
+    silently vanish.
+    """
+    name = config.table_dtype
+    if name in (None, "auto"):
+        name = (
+            "bfloat16" if jax.default_backend() == "tpu" else "float32"
+        )
+    elif name == "bfloat16" and jax.default_backend() != "tpu":
+        import warnings
+
+        warnings.warn(
+            "bfloat16 tables off-TPU use a round-to-nearest fallback "
+            "applier; SGD updates smaller than the bf16 ulp are dropped "
+            "(quality degrades). Use float32 off-TPU.",
+            stacklevel=2,
+        )
+    return jnp.dtype(name)
 
 
 def _count_tokens(
@@ -584,7 +617,7 @@ def train(
         build_negative_table(np.asarray(counts), seed=seed)
     )
 
-    table_dtype = jnp.dtype(config.table_dtype)
+    table_dtype = resolve_table_dtype(config)
     bound = 0.5 / config.dim
     w_in = jax.random.uniform(
         k_init, (num_nodes, config.dim), minval=-bound, maxval=bound
@@ -806,7 +839,7 @@ def train_streaming(
             np.cumsum(sizes)[:-1],
         )
 
-    table_dtype = jnp.dtype(config.table_dtype)
+    table_dtype = resolve_table_dtype(config)
     bound = 0.5 / config.dim
     w_in = jax.random.uniform(
         k_init, (num_nodes, config.dim), minval=-bound, maxval=bound

@@ -181,7 +181,9 @@ class MultichipTrainer:
         """Sharded (w_in, w_out) tables (dims split over ``model``)."""
         n, d = self.graph.num_nodes, self.config.dim
         bound = 0.5 / d
-        dtype = jnp.dtype(self.config.table_dtype)
+        from pecanpy_tpu.models.sgns import resolve_table_dtype
+
+        dtype = resolve_table_dtype(self.config)
         w_in = jax.random.uniform(
             key, (n, d), minval=-bound, maxval=bound
         ).astype(dtype)
@@ -289,7 +291,11 @@ def train_streaming_multichip(
             ckpt = SGNSCheckpointer(checkpoint_dir)
             if ckpt.latest_step() is not None:
                 w_in_np, w_out_np, meta = ckpt.restore()
-                dtype = jnp.dtype(config.table_dtype)
+                from pecanpy_tpu.models.sgns import (
+                    resolve_table_dtype,
+                )
+
+                dtype = resolve_table_dtype(config)
                 w_in = jax.device_put(
                     jnp.asarray(w_in_np).astype(dtype),
                     trainer._table_sharding,
