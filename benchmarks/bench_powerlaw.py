@@ -18,8 +18,14 @@ import numpy as np
 sys.path.insert(0, ".")  # run as: python benchmarks/bench_powerlaw.py
 
 
-def build_powerlaw_graph(n, avg_deg=16, exponent=2.2, seed=0):
-    """Chung-Lu heavy-tail graph as a sorted CSR triple."""
+def build_powerlaw_graph(n, avg_deg=16, exponent=2.2, seed=0, directed=False):
+    """Chung-Lu heavy-tail graph as a sorted CSR triple.
+
+    ``directed=True`` keeps each sampled arc one-way with an asymmetric
+    weight (w(u,v) != w(v,u) even when both arcs exist), so the
+    symmetric-graph shortcuts (build-time ``symmetric`` detection, the
+    amortized walker's probe-free return-edge atom) cannot engage.
+    """
     rng = np.random.default_rng(seed)
     # expected-degree weights ~ Pareto(exponent - 1)
     w = (1.0 - rng.random(n)) ** (-1.0 / (exponent - 1.0))
@@ -30,14 +36,22 @@ def build_powerlaw_graph(n, avg_deg=16, exponent=2.2, seed=0):
     dst = np.searchsorted(cdf, rng.random(m)).astype(np.int64)
     keep = src != dst
     src, dst = src[keep], dst[keep]
-    u = np.concatenate([src, dst])
-    v = np.concatenate([dst, src])
+    if directed:
+        u, v = src, dst
+    else:
+        u = np.concatenate([src, dst])
+        v = np.concatenate([dst, src])
     code = np.unique(u * n + v)
     u, v = code // n, code % n
-    lo, hi = np.minimum(u, v), np.maximum(u, v)
-    wgt = (((lo * 2654435761 + hi) % 1000) / 1000.0 * 1.5 + 0.5).astype(
-        np.float32
-    )
+    if directed:
+        wgt = (((u * 2654435761 + v) % 1000) / 1000.0 * 1.5 + 0.5).astype(
+            np.float32
+        )
+    else:
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        wgt = (((lo * 2654435761 + hi) % 1000) / 1000.0 * 1.5 + 0.5).astype(
+            np.float32
+        )
     deg = np.bincount(u, minlength=n)
     indptr = np.concatenate([[0], np.cumsum(deg)])
     return indptr, v.astype(np.int64), wgt
@@ -53,15 +67,27 @@ def main():
 
     import os
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    exponent = float(sys.argv[2]) if len(sys.argv) > 2 else 2.2
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    n = int(pos[0]) if len(pos) > 0 else 1_000_000
+    exponent = float(pos[1]) if len(pos) > 1 else 2.2
     p, q = 0.5, 2.0
-    walkers = int(os.environ.get("BENCH_WALKERS", 32_768))
+    eng = os.environ.get("POWERLAW_ENGINE", "queued")
+    lanes = int(os.environ.get("BENCH_LANES", 32_768))
+    walkers = int(
+        os.environ.get("BENCH_WALKERS", 262_144 if eng == "queued" else 32_768)
+    )
     walk_length = int(os.environ.get("BENCH_WALK_LENGTH", 80))
     cap = 128
 
-    print(f"building {n}-node power-law graph...", file=sys.stderr)
-    indptr, indices, data = build_powerlaw_graph(n, exponent=exponent)
+    directed = "--directed" in sys.argv
+    print(
+        f"building {n}-node {'directed ' if directed else ''}power-law "
+        "graph...",
+        file=sys.stderr,
+    )
+    indptr, indices, data = build_powerlaw_graph(
+        n, exponent=exponent, directed=directed
+    )
     deg = np.diff(indptr)
     print(
         f"graph: {int(indptr[-1])} directed edges, max degree {deg.max()}, "
@@ -84,15 +110,29 @@ def main():
 
     import os
 
-    legacy = os.environ.get("POWERLAW_ENGINE", "amortized") == "per-step"
+    legacy = eng == "per-step"
     trials = int(os.environ.get("PECANPY_TPU_AMORTIZED_TRIALS", "2"))
     print(
-        f"engine: {'per-step sampler' if legacy else 'amortized'}"
-        + ("" if legacy else f" (trials={trials}, cdf={with_cdf})"),
+        f"engine: {eng}"
+        + (
+            ""
+            if legacy
+            else f" (trials={trials}, cdf={with_cdf}, walks={walkers}"
+            + (f", lanes={lanes})" if eng == "queued" else ")")
+        ),
         file=sys.stderr,
     )
 
-    if legacy:
+    if eng == "queued":
+
+        @jax.jit
+        def run(g, starts, key):
+            return engine.generate_walks_queued(
+                g, starts, key, walk_length, p, q, False,
+                lanes=lanes, trials=trials,
+            )
+
+    elif legacy:
 
         @jax.jit
         def run(g, starts, key):
@@ -138,9 +178,9 @@ def main():
         times.append(time.perf_counter() - t0)
     sps = walkers * walk_length / min(times)
     print(f"device: {sps:.3e} steps/s (best of 3)", file=sys.stderr)
+    name = "powerlaw_walk_steps_per_sec" + ("_directed" if directed else "")
     print(
-        f'{{"metric": "powerlaw_walk_steps_per_sec", "value": {sps}, '
-        f'"unit": "steps/s"}}'
+        f'{{"metric": "{name}", "value": {sps}, "unit": "steps/s"}}'
     )
 
 

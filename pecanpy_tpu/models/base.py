@@ -199,12 +199,18 @@ class Base(BaseGraph):
         return self._walk_fn_cache[walk_length]
 
     def _resolved_walker_batch(self) -> int:
-        """Walkers per device dispatch; None resolves per graph type."""
+        """Walker LANES per device dispatch; None resolves per graph type."""
         if self.walker_batch is not None:
             return self.walker_batch
         if self.get_device_graph().has_hubs:
             return DEFAULT_HUB_WALKER_BATCH
         return DEFAULT_WALKER_BATCH
+
+    def _walk_queue_factor(self) -> int:
+        """Walks per dispatch, in units of walker lanes (see the
+        amortized-OTF mixin, which overrides this for hub graphs whose
+        queued engine amortizes straggler tails across the dispatch)."""
+        return 1
 
     def _seed(self) -> int:
         """Concrete seed for this instance, resolved exactly once.
@@ -253,7 +259,9 @@ class Base(BaseGraph):
 
         starts = self._start_nodes(num_walks)
         total = starts.size
-        chunk = min(self._resolved_walker_batch(), total)
+        chunk = min(
+            self._resolved_walker_batch() * self._walk_queue_factor(), total
+        )
         n_chunks = -(-total // chunk)
         t0 = time.perf_counter()
         for i, lo in enumerate(range(0, total, chunk)):

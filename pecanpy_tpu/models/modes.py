@@ -150,6 +150,23 @@ class _AmortizedOTFMixin:
 
     _cdf_for_hubs = True
 
+    def _walk_queue_factor(self) -> int:
+        """Walks per dispatch = queue_factor * walker lanes (hub graphs).
+
+        The queued engine amortizes its straggler tail over the whole
+        dispatch, so larger walk queues per dispatch walk faster; 8
+        lanes' worth (~262k walks at the default 32k lanes, an 85 MB
+        walk buffer) captures most of the win. 1 falls back to one
+        batch per dispatch (``PECANPY_TPU_QUEUE_FACTOR``; 0 disables
+        the queued engine entirely and uses the per-batch amortized
+        walker).
+        """
+        if not self.get_device_graph().has_hubs:
+            return 1
+        if os.environ.get("PECANPY_TPU_AMORTIZED", "1") in ("0", "false"):
+            return 1
+        return max(int(os.environ.get("PECANPY_TPU_QUEUE_FACTOR", "8")), 1)
+
     def _make_walk_runner(self, walk_length: int):
         use_amortized = self.get_device_graph().has_hubs
         if os.environ.get("PECANPY_TPU_AMORTIZED", "1") in ("0", "false"):
@@ -159,8 +176,15 @@ class _AmortizedOTFMixin:
         p, q, extend = self.p, self.q, self.extend
         trials = int(os.environ.get("PECANPY_TPU_AMORTIZED_TRIALS", "2"))
         unroll = int(os.environ.get("PECANPY_TPU_UNROLL", "4"))
+        queued = os.environ.get("PECANPY_TPU_QUEUE_FACTOR", "8") != "0"
+        lanes = self._resolved_walker_batch()
 
         def run(dg, aux, start, key):
+            if queued:
+                return engine.generate_walks_queued(
+                    dg, start, key, walk_length, p, q, extend,
+                    lanes=lanes, trials=trials, unroll=unroll,
+                )
             return engine.generate_walks_amortized(
                 dg, start, key, walk_length, p, q, extend, trials=trials,
                 unroll=unroll,

@@ -137,6 +137,12 @@ class DeviceCSR:
     # weight as the next return-edge weight instead of a membership probe.
     # False is always safe (it only disables that shortcut).
     symmetric: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # fraction of edge mass on hub nodes (degree > cap), rounded to 1%.
+    # Sizes the tiered trial block's compacted hub sub-batches (see
+    # ops/rejection.tier_compact); an underestimate only slows walkers
+    # standing at hubs (never wrong), an overestimate wastes descriptor
+    # lanes. Rounded so minor graph edits don't retrigger compilation.
+    hub_frac: float = dataclasses.field(metadata=dict(static=True), default=0.0)
 
     @property
     def num_nodes(self) -> int:
@@ -467,6 +473,10 @@ def build_device_csr(
     hub_kwargs = {}
     if has_hubs:
         hub_ids = np.nonzero(is_hub_node)[0]
+        hub_edges = int(deg[is_hub_node].astype(np.int64).sum())
+        hub_kwargs["hub_frac"] = (
+            round(hub_edges / max(int(indptr[-1]), 1), 2)
+        )
         (
             edge_pack,
             hub_base,
@@ -489,7 +499,7 @@ def build_device_csr(
         buckets = np.concatenate(
             [hkey8.view(np.float32), hval8], axis=1
         )  # [NB, 16]
-        hub_kwargs = dict(
+        hub_kwargs.update(
             edge_pack=jnp.asarray(_pack_super(edge_pack)),
             hbuckets=jnp.asarray(_pack_super(buckets)),
         )

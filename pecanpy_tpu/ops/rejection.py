@@ -202,25 +202,115 @@ def membership(
     )
 
 
-def _bias(
+def _expand(sub: jax.Array, pos: jax.Array, valid: jax.Array, fill):
+    """full[i] = sub[pos[i]] where valid else fill (elementwise gather).
+
+    The scatter-free return path of the tiered trial block: compacted
+    hub results come back to full-batch lanes through each lane's
+    compaction RANK — an elementwise gather, which on TPU costs noise
+    next to the scatter it replaces.
+    """
+    v = sub[jnp.minimum(pos, sub.shape[0] - 1)]
+    return jnp.where(valid, v, fill)
+
+
+def tier_compact(dg: DeviceCSR, cur_rows: jax.Array, prev_rows: jax.Array,
+                 s: int):
+    """Round-stable compaction of the hub descriptor work.
+
+    The amortized trial block issues its two per-trial gathers (alias
+    proposal row, membership hash bucket) over the FULL batch even
+    though only cur-hub lanes consume the first and prev-hub lanes the
+    second (~37% each on the Chung-Lu bench) — gathers are
+    descriptor-rate-bound, so every inactive lane pays full price.
+    This helper compacts each hub group once per ROUND (the groups are
+    round-stable: lane residency only changes when a lane advances, at
+    round end) into an ``s``-lane sub-batch; every trial of the round
+    then runs its descriptor gathers at s lanes and expands results
+    back by rank (``_expand``).
+
+    Lanes whose group overflows ``s`` are marked unserved; the caller
+    voids their trials for this round (they retry next round). The void
+    decision depends only on round-stable state — never on the trial's
+    own randomness — so the sampled law is unchanged; overflow only
+    delays those lanes. Callers size ``s`` with slack above the graph's
+    hub-edge fraction so overflow is rare.
+
+    Returns a dict of compacted operands (see the field comments).
+    """
+    cur_hub = dg.rows_is_hub(cur_rows)
+    prev_hub = dg.rows_is_hub(prev_rows)
+    ca = jnp.cumsum(cur_hub.astype(jnp.int32))
+    cb = jnp.cumsum(prev_hub.astype(jnp.int32))
+    idx_a, _ = _compact_indices(cur_hub, s)
+    idx_b, _ = _compact_indices(prev_hub, s)
+    deg = dg.rows_degree(cur_rows)
+    base = dg.rows_edge_base(cur_rows)
+    hbase, hlog = dg.rows_hash_meta(prev_rows)
+    served_a = cur_hub & (ca <= s)
+    served_b = prev_hub & (cb <= s)
+    return dict(
+        cur_hub=cur_hub,
+        prev_hub=prev_hub,
+        pos_a=jnp.minimum(ca - 1, s - 1),  # rank of lane i in group a
+        pos_b=jnp.minimum(cb - 1, s - 1),
+        deg_a=deg[idx_a],  # [s] alias metadata of the compacted lanes
+        base_a=base[idx_a],
+        idx_b=idx_b,  # [s] lane of each prev-hub slot (slices x per trial)
+        hbase_b=hbase[idx_b],
+        hlog_b=hlog[idx_b],
+        served=(~cur_hub | served_a) & (~prev_hub | served_b),
+    )
+
+
+def _alias_propose_tiered(dg: DeviceCSR, key: jax.Array, tier):
+    """[s] alias proposals for the compacted cur-hub lanes."""
+    k_slot, k_acc = jax.random.split(key)
+    deg, base = tier["deg_a"], tier["base_a"]
+    kk = jax.random.randint(k_slot, deg.shape, 0, jnp.maximum(deg, 1))
+    rows = dg.fetch_edge_slots(base + kk.astype(jnp.int32))
+    take_self = (
+        jax.random.uniform(k_acc, deg.shape) < rows[..., hubs_lib.EP_ACCEPT]
+    )
+    nbr_pair = jax.lax.bitcast_convert_type(
+        rows[..., [hubs_lib.EP_NBR_SELF, hubs_lib.EP_NBR_ALIAS]], jnp.int32
+    )
+    x = jnp.where(take_self, nbr_pair[..., 0], nbr_pair[..., 1])
+    w = jnp.where(
+        take_self,
+        rows[..., hubs_lib.EP_WGT_SELF],
+        rows[..., hubs_lib.EP_WGT_ALIAS],
+    )
+    return x, w
+
+
+def _membership_tiered(dg: DeviceCSR, x: jax.Array, tier):
+    """[s] bucket probes of candidate x for the compacted prev-hub lanes."""
+    x_b = x[tier["idx_b"]]
+    mask = (
+        jnp.uint32(1) << jnp.clip(tier["hlog_b"], 0, 30).astype(jnp.uint32)
+    ) - jnp.uint32(1)
+    bucket = tier["hbase_b"] + (
+        (x_b.astype(jnp.uint32) * _KNUTH) & mask
+    ).astype(jnp.int32)
+    keys, vals = dg.fetch_bucket(bucket)
+    hit = keys == x_b[..., None]
+    return jnp.any(hit, axis=-1), jnp.sum(jnp.where(hit, vals, 0.0), axis=-1)
+
+
+def _bias_from_membership(
     dg: DeviceCSR,
     x: jax.Array,
     wx: jax.Array,
     prev: jax.Array,
     cur_rows: jax.Array,
-    prev_rows: jax.Array,
+    found: jax.Array,
+    wpx: jax.Array,
     p: float,
     q: float,
     extend: bool,
-    mode: str = "auto",
 ) -> jax.Array:
-    """node2vec / node2vec+ bias factor alpha(x) for single candidates.
-
-    Mirrors the fused kernels (``transition.node2vec_weights_rows`` /
-    ``node2vec_plus_weights_rows``) evaluated per candidate. ``x`` is
-    flat [B]. ``mode`` routes the membership test (see there).
-    """
-    found, wpx = membership(dg, x, prev_rows, mode=mode)
+    """Bias factor alpha(x) given the membership test's (found, w(prev,x))."""
     is_prev = x == prev
     inv_q = 1.0 / q
     if not extend:
@@ -244,20 +334,67 @@ def _bias(
     return jnp.where(is_prev, 1.0 / p, jnp.where(is_out, alpha_out, 1.0))
 
 
+def _bias(
+    dg: DeviceCSR,
+    x: jax.Array,
+    wx: jax.Array,
+    prev: jax.Array,
+    cur_rows: jax.Array,
+    prev_rows: jax.Array,
+    p: float,
+    q: float,
+    extend: bool,
+    mode: str = "auto",
+) -> jax.Array:
+    """node2vec / node2vec+ bias factor alpha(x) for single candidates.
+
+    Mirrors the fused kernels (``transition.node2vec_weights_rows`` /
+    ``node2vec_plus_weights_rows``) evaluated per candidate. ``x`` is
+    flat [B]. ``mode`` routes the membership test (see there).
+    """
+    found, wpx = membership(dg, x, prev_rows, mode=mode)
+    return _bias_from_membership(
+        dg, x, wx, prev, cur_rows, found, wpx, p, q, extend
+    )
+
+
 def _single_trial(
     dg, key, prev, cur_rows, prev_rows, p, q, extend, alpha_np,
-    theta, wp, mode, use_cdf=False,
+    theta, wp, mode, use_cdf=False, tier=None,
 ):
-    """One flat [B] proposal + accept test per lane."""
+    """One flat [B] proposal + accept test per lane.
+
+    With ``tier`` (see ``tier_compact``) the two descriptor gathers run
+    on the compacted hub sub-batches; unserved lanes' accepts are voided
+    by the caller via ``tier["served"]``.
+    """
     k_prop, k_acc, k_atom = jax.random.split(key, 3)
-    x, wx = propose(dg, k_prop, cur_rows, use_cdf=use_cdf)
+    if tier is None or not dg.has_hubs:
+        x, wx = propose(dg, k_prop, cur_rows, use_cdf=use_cdf)
+    else:
+        k_hub, k_small = jax.random.split(k_prop)
+        x_s, w_s = fused_propose(dg, k_small, cur_rows, use_cdf)
+        xh_sub, wh_sub = _alias_propose_tiered(dg, k_hub, tier)
+        hub, pos = tier["cur_hub"], tier["pos_a"]
+        x = _expand(xh_sub, pos, hub, x_s)
+        wx = _expand(wh_sub, pos, hub, w_s)
     if theta is not None:
         atom = jax.random.uniform(k_atom, theta.shape) < theta
         x = jnp.where(atom, prev, x)
         wx = jnp.where(atom, wp, wx)
-    alpha = _bias(
-        dg, x, wx, prev, cur_rows, prev_rows, p, q, extend, mode=mode
-    )
+    if tier is None or not dg.has_hubs:
+        alpha = _bias(
+            dg, x, wx, prev, cur_rows, prev_rows, p, q, extend, mode=mode
+        )
+    else:
+        found_s, w_ps = membership(dg, x, prev_rows, mode="row")
+        fh_sub, wh_sub2 = _membership_tiered(dg, x, tier)
+        phub, pos_b = tier["prev_hub"], tier["pos_b"]
+        found = _expand(fh_sub, pos_b, phub, found_s)
+        wpx = _expand(wh_sub2, pos_b, phub, w_ps)
+        alpha = _bias_from_membership(
+            dg, x, wx, prev, cur_rows, found, wpx, p, q, extend
+        )
     accept = alpha / alpha_np
     if theta is not None:
         accept = jnp.where(x == prev, 1.0, accept)
@@ -267,10 +404,17 @@ def _single_trial(
 
 def _trial_block(
     dg, key, prev, cur_rows, prev_rows, p, q, extend, alpha_np, trials,
-    theta=None, wp=None, mode="auto", use_cdf=False,
+    theta=None, wp=None, mode="auto", use_cdf=False, force_ok=None,
+    tier=None,
 ):
     """T iid proposals per lane; returns (first accepted or last, any ok,
     w(cur, chosen)).
+
+    ``force_ok`` ([B] bool, optional) marks lanes whose trial-1 proposal
+    is accepted unconditionally — the queued engine's FIRST-ORDER steps,
+    where the first-order draw IS the transition law (no bias factor;
+    the caller zeroes those lanes' atom mass so the proposal is a pure
+    first-order draw).
 
     The T trials run as a STATIC Python loop of flat [B] evaluations —
     a [B, T] trial axis looks natural but pays TPU sublane padding on
@@ -290,7 +434,14 @@ def _trial_block(
         x_t, ok_t, wx_t = _single_trial(
             dg, jax.random.fold_in(key, t), prev, cur_rows, prev_rows,
             p, q, extend, alpha_np, theta, wp, mode, use_cdf=use_cdf,
+            tier=tier,
         )
+        if force_ok is not None:
+            ok_t = ok_t | force_ok
+        if tier is not None and dg.has_hubs:
+            # overflowed hub lanes void the whole trial (pre-randomness
+            # decision — unbiased; they simply retry next round)
+            ok_t = ok_t & tier["served"]
         if chosen is None:
             chosen, got, chosen_w = x_t, ok_t, wx_t
         else:

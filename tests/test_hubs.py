@@ -419,3 +419,204 @@ def test_amortized_directed_asymmetric_distribution(rng):
         )
         checked += 1
     assert checked >= 3
+
+
+# -- queued persistent-lane engine (walk queue >> lanes) ------------------
+
+from pecanpy_tpu.models import engine  # noqa: E402
+
+
+def test_queued_engine_second_order_distribution(rng):
+    """The queued engine (lanes << walks, live claim machinery) samples
+    the exact 2nd-order law; starts, early termination, and resting
+    emission match the per-batch engines."""
+    p, q = 0.5, 2.0
+    n = 9
+    adj = oracle.random_graph(rng, n, mean_degree=5.0, weighted=True)
+    adj[n - 1, :] = 0  # sink: exercises death -> claim
+    g = device_csr_from_dense(adj, degree_cap=CAP, with_cdf=True)
+    assert g.has_hubs
+    starts_h = rng.integers(0, n, 12000).astype(np.int32)
+    walks, eff = engine.generate_walks_queued(
+        g, jnp.asarray(starts_h), jax.random.PRNGKey(3), 4, p, q, False,
+        lanes=256,
+    )
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    np.testing.assert_array_equal(walks[:, 0], starts_h)
+    counts = {}
+    for row, m in zip(walks, eff):
+        assert (row[m:] == row[m - 1]).all()  # resting emission
+        if m <= 4:
+            assert adj[row[m - 1]].sum() == 0  # early stop only at sinks
+        for a, b in zip(row[: m - 1], row[1:m]):
+            assert adj[a, b] != 0, f"non-edge {a}->{b}"
+        for j in range(2, m):
+            counts.setdefault((row[j - 2], row[j - 1]), []).append(row[j])
+    checked = 0
+    for (prev, cur), nxts in counts.items():
+        if len(nxts) < 400:
+            continue
+        nbrs = np.nonzero(adj[cur])[0]
+        expected = oracle.node2vec_probs(adj, cur, prev, p, q)
+        freq = np.array([(np.array(nxts) == nb).mean() for nb in nbrs])
+        np.testing.assert_allclose(
+            freq, expected, atol=4.5 * np.sqrt(0.25 / len(nxts)),
+            err_msg=f"cur={cur} prev={prev} n={len(nxts)}",
+        )
+        checked += 1
+    assert checked >= 3
+
+
+def test_queued_engine_first_order_column(rng):
+    """Column 1 of every queued walk (including claimed mid-run walks)
+    follows the FIRST-order law w(start, .) -- the forced-accept trial."""
+    n = 8
+    adj = oracle.random_graph(rng, n, mean_degree=5.0, weighted=True)
+    g = device_csr_from_dense(adj, degree_cap=CAP, with_cdf=True)
+    u = int(np.argmax((adj > 0).sum(1)))  # well-connected start
+    starts_h = np.full(6000, u, dtype=np.int32)
+    walks, eff = engine.generate_walks_queued(
+        g, jnp.asarray(starts_h), jax.random.PRNGKey(5), 3, 0.25, 4.0,
+        False, lanes=128,
+    )
+    col1 = np.asarray(walks)[:, 1]
+    expected = oracle.first_order_probs(adj, u)
+    nbrs = np.nonzero(adj[u])[0]
+    freq = np.array([(col1 == nb).mean() for nb in nbrs])
+    np.testing.assert_allclose(
+        freq, expected, atol=4.5 * np.sqrt(0.25 / col1.size)
+    )
+
+
+def test_queued_engine_directed_distribution(rng):
+    """Directed asymmetric graph through the queued engine (membership
+    probe atom path)."""
+    p, q = 0.5, 2.0
+    n = 10
+    adj = oracle.random_graph(rng, n, mean_degree=6.0, weighted=True,
+                              directed=True)
+    for i in range(n):
+        if adj[i].sum() == 0:
+            adj[i, (i + 1) % n] = 1.5
+    g = device_csr_from_dense(adj, degree_cap=CAP)
+    assert g.has_hubs and not g.symmetric
+    starts_h = rng.integers(0, n, 6400).astype(np.int32)
+    walks, eff = engine.generate_walks_queued(
+        g, jnp.asarray(starts_h), jax.random.PRNGKey(9), 4, p, q, False,
+        lanes=512,
+    )
+    walks, eff = np.asarray(walks), np.asarray(eff)
+    counts = {}
+    for row, m in zip(walks, eff):
+        for j in range(2, m):
+            counts.setdefault((row[j - 2], row[j - 1]), []).append(row[j])
+    checked = 0
+    for (prev, cur), nxts in counts.items():
+        if len(nxts) < 400:
+            continue
+        nbrs = np.nonzero(adj[cur])[0]
+        expected = oracle.node2vec_probs(adj, cur, prev, p, q)
+        freq = np.array([(np.array(nxts) == nb).mean() for nb in nbrs])
+        np.testing.assert_allclose(
+            freq, expected, atol=4.5 * np.sqrt(0.25 / len(nxts))
+        )
+        checked += 1
+    assert checked >= 3
+
+
+def test_queued_engine_walk_length_one(rng):
+    adj, g = hub_graph(rng, n=10)
+    starts_h = rng.integers(0, 10, 300).astype(np.int32)
+    walks, eff = engine.generate_walks_queued(
+        g, jnp.asarray(starts_h), jax.random.PRNGKey(1), 1, 0.5, 2.0,
+        False, lanes=64,
+    )
+    walks = np.asarray(walks)
+    assert walks.shape == (300, 2)
+    np.testing.assert_array_equal(walks[:, 0], starts_h)
+    for a, b in zip(walks[:, 0], walks[:, 1]):
+        if adj[a].sum() > 0:
+            assert adj[a, b] != 0
+
+
+# -- tiered (compacted-descriptor) trial block ----------------------------
+
+
+def _moderate_hub_graph(rng, n=40, cap=8):
+    """Graph whose hub-edge fraction is well under the tier cutoff."""
+    adj = oracle.random_graph(rng, n, mean_degree=4.0, weighted=True)
+    # two hubs touching most nodes; the rest stay under the cap
+    for h in (0, 1):
+        for j in range(2, n, 2 + h):
+            w = 0.5 + ((h + j) % 7) * 0.2
+            adj[h, j] = adj[j, h] = w
+    g = device_csr_from_dense(adj, degree_cap=cap, with_cdf=True)
+    assert g.has_hubs
+    assert 0.05 < g.hub_frac < 0.5, g.hub_frac
+    return adj, g
+
+
+def _second_order_check(adj, walks, eff, p, q, min_checked=3):
+    counts = {}
+    for row, m in zip(np.asarray(walks), np.asarray(eff)):
+        for j in range(2, m):
+            counts.setdefault((row[j - 2], row[j - 1]), []).append(row[j])
+    checked = 0
+    for (prev, cur), nxts in counts.items():
+        if len(nxts) < 400:
+            continue
+        nbrs = np.nonzero(adj[cur])[0]
+        expected = oracle.node2vec_probs(adj, cur, prev, p, q)
+        freq = np.array([(np.array(nxts) == nb).mean() for nb in nbrs])
+        np.testing.assert_allclose(
+            freq, expected, atol=4.5 * np.sqrt(0.25 / len(nxts)),
+            err_msg=f"cur={cur} prev={prev} n={len(nxts)}",
+        )
+        checked += 1
+    assert checked >= min_checked, f"only {checked} transitions checkable"
+
+
+def test_tiered_trials_distribution(rng):
+    """Moderate hub fraction -> the tiered block engages (tier_lanes > 0)
+    and the sampled law stays exact through both engines."""
+    from pecanpy_tpu.models import engine as eng
+
+    p, q = 0.5, 2.0
+    adj, g = _moderate_hub_graph(rng)
+    assert eng._tier_lanes(g, 4096) > 0  # the tier actually engages
+    starts_h = rng.integers(0, adj.shape[0], 16000).astype(np.int32)
+    walks, eff = eng.generate_walks_queued(
+        g, jnp.asarray(starts_h), jax.random.PRNGKey(21), 4, p, q, False,
+        lanes=4096,
+    )
+    _second_order_check(adj, walks, eff, p, q)
+    walks, eff = eng.generate_walks_amortized(
+        g, jnp.asarray(starts_h), jax.random.PRNGKey(22), 4, p, q, False,
+    )
+    _second_order_check(adj, walks, eff, p, q, min_checked=2)
+
+
+def test_tiered_trials_overflow_unbiased(rng, monkeypatch):
+    """An undersized tier sub-batch (forced overflow) voids trials but
+    must NOT bias the sampled law — voided lanes just retry."""
+    from pecanpy_tpu.models import engine as eng
+
+    monkeypatch.setenv("PECANPY_TPU_TIER_SLACK", "-0.15")
+    p, q = 0.5, 2.0
+    adj, g = _moderate_hub_graph(rng)
+    s = eng._tier_lanes(g, 4096)
+    assert 0 < s < int(4096 * g.hub_frac)  # genuinely undersized
+    starts_h = rng.integers(0, adj.shape[0], 16000).astype(np.int32)
+    walks, eff = eng.generate_walks_queued(
+        g, jnp.asarray(starts_h), jax.random.PRNGKey(23), 4, p, q, False,
+        lanes=4096,
+    )
+    _second_order_check(adj, walks, eff, p, q)
+
+
+def test_tiered_disabled_on_hub_dominated_graphs(rng):
+    from pecanpy_tpu.models import engine as eng
+
+    adj, g = hub_graph(rng, n=14)  # CAP=6: nearly every edge is hub mass
+    assert g.hub_frac > 0.6
+    assert eng._tier_lanes(g, 4096) == 0
