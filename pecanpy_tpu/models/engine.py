@@ -47,14 +47,24 @@ StepFn = Callable[
 def _tier_lanes(graph: DeviceCSR, b: int) -> int:
     """Compacted hub sub-batch size for the tiered trial block (0 = off).
 
-    Sized to the graph's hub-edge fraction (the stationary share of
-    lanes standing at / coming from a hub) plus slack; when hubs carry
-    most of the edge mass the compaction saves too little to pay for
-    itself and the full-batch block runs instead.
+    OPT-IN (``PECANPY_TPU_TIERED=1``) and measured SLOWER on v5e: the
+    compact-then-expand round trip replaces full-batch alias/bucket
+    gathers with s-lane gathers PLUS per-trial elementwise expansion
+    gathers — and elementwise gathers are descriptor-rate-bound exactly
+    like the row gathers they were meant to save, so the round trip
+    roughly doubles descriptor work (measured 2.35 -> 3.61 ms/round on
+    the 1M-node Chung-Lu bench at 32k lanes, 9.3M -> 6.0M steps/s).
+    Kept behind the flag with distribution tests as the documented
+    negative result; the sampled law is exact either way.
+
+    When enabled: sized to the graph's hub-edge fraction (the
+    stationary share of lanes standing at / coming from a hub) plus
+    slack; when hubs carry most of the edge mass the compaction saves
+    too little to pay for itself and the full-batch block runs instead.
     """
     if not graph.has_hubs:
         return 0
-    if os.environ.get("PECANPY_TPU_TIERED", "1") in ("0", "false"):
+    if os.environ.get("PECANPY_TPU_TIERED", "0") in ("0", "false"):
         return 0
     frac = graph.hub_frac + float(
         os.environ.get("PECANPY_TPU_TIER_SLACK", "0.08")

@@ -576,11 +576,14 @@ def _second_order_check(adj, walks, eff, p, q, min_checked=3):
     assert checked >= min_checked, f"only {checked} transitions checkable"
 
 
-def test_tiered_trials_distribution(rng):
+def test_tiered_trials_distribution(rng, monkeypatch):
     """Moderate hub fraction -> the tiered block engages (tier_lanes > 0)
-    and the sampled law stays exact through both engines."""
+    and the sampled law stays exact through both engines. (The tier is
+    an OPT-IN negative result on v5e -- see engine._tier_lanes -- but
+    its law must stay exact for anyone who enables it.)"""
     from pecanpy_tpu.models import engine as eng
 
+    monkeypatch.setenv("PECANPY_TPU_TIERED", "1")
     p, q = 0.5, 2.0
     adj, g = _moderate_hub_graph(rng)
     assert eng._tier_lanes(g, 4096) > 0  # the tier actually engages
@@ -601,6 +604,7 @@ def test_tiered_trials_overflow_unbiased(rng, monkeypatch):
     must NOT bias the sampled law — voided lanes just retry."""
     from pecanpy_tpu.models import engine as eng
 
+    monkeypatch.setenv("PECANPY_TPU_TIERED", "1")
     monkeypatch.setenv("PECANPY_TPU_TIER_SLACK", "-0.15")
     p, q = 0.5, 2.0
     adj, g = _moderate_hub_graph(rng)
@@ -614,9 +618,13 @@ def test_tiered_trials_overflow_unbiased(rng, monkeypatch):
     _second_order_check(adj, walks, eff, p, q)
 
 
-def test_tiered_disabled_on_hub_dominated_graphs(rng):
+def test_tiered_disabled_on_hub_dominated_graphs(rng, monkeypatch):
     from pecanpy_tpu.models import engine as eng
 
+    monkeypatch.setenv("PECANPY_TPU_TIERED", "1")
     adj, g = hub_graph(rng, n=14)  # CAP=6: nearly every edge is hub mass
     assert g.hub_frac > 0.6
     assert eng._tier_lanes(g, 4096) == 0
+    monkeypatch.delenv("PECANPY_TPU_TIERED")
+    adj2, g2 = _moderate_hub_graph(rng)
+    assert eng._tier_lanes(g2, 4096) == 0  # off by default
