@@ -101,9 +101,11 @@ def main():
             epochs=1, seed=0,
         )
     else:
+        bw = os.environ.get("BENCH_BATCH_WALKS", "")
         emb = g.embed(
             dim=128, num_walks=10, walk_length=80, window_size=10,
             table_dtype=table_dtype,
+            batch_walks=int(bw) if bw else None,
         )
     t_embed = time.perf_counter() - t0
     print(f"embed: {t_embed:.1f}s", file=sys.stderr)
