@@ -22,38 +22,33 @@ import time
 import numpy as np
 
 
-def embed_sequential(g, dim, num_walks, walk_length, window, epochs, seed):
-    """Walks on device, SGNS on host with gensim's sequential loop."""
+def embed_sequential(
+    g, dim, num_walks, walk_length, window, epochs, seed, workers=1
+):
+    """Walks on device, SGNS on host with gensim's sequential loop.
+
+    ``workers=1`` is the strictly-sequential evidence baseline;
+    ``workers>1`` measures the hogwild production path
+    (``embed(trainer="sequential")``).
+    """
     from pecanpy_tpu.models import sgns
-    from pecanpy_tpu.native.loader import train_sgns_sequential_native
 
     t0 = time.perf_counter()
     walks, eff = g.simulate_walks_device(num_walks, walk_length)
     walks, eff = np.asarray(walks), np.asarray(eff)
     print(f"walks: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    n = g.num_nodes
-    counts = np.zeros(n)
-    for row, e in zip(walks, eff):
-        np.add.at(counts, row[:e], 1.0)
-    keep = np.asarray(sgns._keep_probs(counts.astype(np.float32), 1e-3))
-    neg_table = sgns.build_negative_table(counts, seed=seed)
-    rng_init = np.random.default_rng(seed)
-    w_in = rng_init.uniform(-0.5 / dim, 0.5 / dim, (n, dim)).astype(
-        np.float32
-    )
-    w_out = np.zeros((n, dim), dtype=np.float32)
     t0 = time.perf_counter()
-    pairs = train_sgns_sequential_native(
-        walks, eff, w_in, w_out, keep, neg_table,
-        window, 5, 0.025, 0.0001, float(eff.sum()) * epochs, epochs, seed,
+    config = sgns.SGNSConfig(dim=dim, window=window, epochs=epochs, seed=seed)
+    emb = sgns.train_sequential(
+        walks, eff, g.num_nodes, config, workers=workers, verbose=True
     )
     print(
-        f"sequential train: {pairs} pairs, "
+        f"sequential train ({workers} thread(s)): "
         f"{time.perf_counter() - t0:.1f}s",
         file=sys.stderr,
     )
-    return w_in
+    return emb
 
 
 def main():
@@ -64,10 +59,14 @@ def main():
 
     args = sys.argv[1:]
     sequential = "--trainer" in args and "sequential" in args
+    workers = (
+        int(args[args.index("--workers") + 1]) if "--workers" in args else 1
+    )
     pos = [
         a
         for i, a in enumerate(args)
-        if not a.startswith("-") and (i == 0 or args[i - 1] != "--trainer")
+        if not a.startswith("-")
+        and (i == 0 or args[i - 1] not in ("--trainer", "--workers"))
     ]
     n = int(pos[0]) if pos else 10_312
     c = 39
@@ -98,7 +97,7 @@ def main():
     if sequential:
         emb = embed_sequential(
             g, dim=128, num_walks=10, walk_length=80, window=10,
-            epochs=1, seed=0,
+            epochs=1, seed=0, workers=workers,
         )
     else:
         bw = os.environ.get("BENCH_BATCH_WALKS", "")

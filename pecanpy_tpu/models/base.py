@@ -345,6 +345,7 @@ class Base(BaseGraph):
         n_devices: Optional[int] = None,
         model_parallel: int = 1,
         batch_walks: Optional[int] = None,
+        trainer: str = "tpu",
     ) -> Embeddings:
         """Walks + on-device SGNS, returning graph-aligned embeddings.
 
@@ -361,6 +362,13 @@ class Base(BaseGraph):
         (``parallel/train.py``): walkers data-parallel, embedding tables
         tensor-parallel over ``model_parallel`` shards, Pallas applier
         per shard on TPU.
+
+        ``trainer`` selects the SGNS implementation: ``"tpu"`` (default)
+        is the batched on-device trainer; ``"sequential"`` trains on the
+        host with gensim's exact sequential loop (native C++, hogwild
+        over ``self.workers`` threads) — higher measured downstream
+        quality (micro-F1 0.541 vs 0.510 at BlogCatalog scale) at host
+        CPU speed, intended for small graphs.
         """
         from pecanpy_tpu.models import sgns
 
@@ -372,6 +380,43 @@ class Base(BaseGraph):
             table_dtype=table_dtype,
             batch_walks=batch_walks,
         )
+
+        if trainer not in ("tpu", "sequential"):
+            raise ValueError(
+                f"unknown trainer {trainer!r}; use 'tpu' or 'sequential'"
+            )
+        if trainer == "sequential":
+            if n_devices is not None and n_devices > 1:
+                raise ValueError(
+                    "trainer='sequential' runs on the host; it cannot be "
+                    "combined with n_devices > 1"
+                )
+            total_tokens = self.num_nodes * num_walks * (walk_length + 1)
+            if total_tokens > 5e7:
+                import warnings
+
+                warnings.warn(
+                    f"trainer='sequential' trains ~{total_tokens:.1e} "
+                    "tokens on host CPU threads — expect minutes to "
+                    "hours; the default TPU trainer is ~2 orders of "
+                    "magnitude faster at this scale",
+                    stacklevel=2,
+                )
+            timed_walk = Timer("generate walks", verbose)(
+                self.simulate_walks_device
+            )
+            walks, eff_len = timed_walk(num_walks, walk_length)
+            timed_train = Timer("train embeddings (sequential)", verbose)(
+                sgns.train_sequential
+            )
+            return timed_train(
+                np.asarray(walks),
+                np.asarray(eff_len),
+                self.num_nodes,
+                config,
+                workers=self.workers,
+                verbose=verbose,
+            )
 
         if n_devices is not None and n_devices > 1:
             from pecanpy_tpu.parallel import mesh as mesh_lib

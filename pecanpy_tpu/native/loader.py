@@ -35,7 +35,10 @@ def _build() -> Optional[ctypes.CDLL]:
         )
         if stale:
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB]
+                [
+                    "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                    "-pthread", "-o", _LIB,
+                ]
                 + _SRCS,
                 check=True,
                 capture_output=True,
@@ -124,6 +127,10 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_int,  # epochs
         ctypes.c_uint64,  # seed
     ]
+    lib.pp_train_sgns_sequential_mt.restype = ctypes.c_longlong
+    lib.pp_train_sgns_sequential_mt.argtypes = (
+        lib.pp_train_sgns_sequential.argtypes + [ctypes.c_int]  # workers
+    )
     return lib
 
 
@@ -217,14 +224,18 @@ def train_sgns_sequential_native(
     total_tokens: float,
     epochs: int,
     seed: int,
+    workers: int = 1,
 ) -> int:
     """Train ``w_in``/``w_out`` IN PLACE with gensim's sequential SGNS
     loop (``native/seqsgns.cpp``); returns the trained pair count.
 
-    Evidence tool: runs the exact per-pair math the TPU trainer batches
-    (``tests/test_gensim_parity.py``) but with sequential application,
-    so capped-sum batching can be scored against sequential SGD on the
-    same walks (``benchmarks/bench_quality.py``).
+    ``workers=1`` is strictly sequential (bit-pinned by
+    ``tests/test_seqsgns.py``); ``workers>1`` runs gensim-style hogwild
+    threads (lock-free racing updates, nondeterministic — exactly the
+    reference's gensim ``workers`` semantics, ``pecanpy.py:279-288``).
+    Besides serving as the capped-sum-batching evidence baseline
+    (``benchmarks/bench_quality.py``), this is the user-facing
+    ``embed(trainer="sequential")`` quality path for small graphs.
     """
     lib = _get_lib()
     if lib is None:
@@ -242,28 +253,29 @@ def train_sgns_sequential_native(
         raise ValueError("w_in/w_out must be C-contiguous float32")
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    return int(
-        lib.pp_train_sgns_sequential(
-            walks.ctypes.data_as(i32p),
-            eff_len.ctypes.data_as(i32p),
-            walks.shape[0],
-            walks.shape[1],
-            w_in.ctypes.data_as(f32p),
-            w_out.ctypes.data_as(f32p),
-            w_in.shape[0],
-            w_in.shape[1],
-            keep_prob.ctypes.data_as(f32p),
-            neg_table.ctypes.data_as(i32p),
-            neg_table.size,
-            int(window),
-            int(negative),
-            float(alpha),
-            float(min_alpha),
-            float(total_tokens),
-            int(epochs),
-            int(seed),
-        )
+    args = (
+        walks.ctypes.data_as(i32p),
+        eff_len.ctypes.data_as(i32p),
+        walks.shape[0],
+        walks.shape[1],
+        w_in.ctypes.data_as(f32p),
+        w_out.ctypes.data_as(f32p),
+        w_in.shape[0],
+        w_in.shape[1],
+        keep_prob.ctypes.data_as(f32p),
+        neg_table.ctypes.data_as(i32p),
+        neg_table.size,
+        int(window),
+        int(negative),
+        float(alpha),
+        float(min_alpha),
+        float(total_tokens),
+        int(epochs),
+        int(seed),
     )
+    if workers > 1:
+        return int(lib.pp_train_sgns_sequential_mt(*args, int(workers)))
+    return int(lib.pp_train_sgns_sequential(*args))
 
 
 def build_hub_tables_native(indptr, indices, data, hub_ids):

@@ -122,9 +122,14 @@ class MultichipTrainer:
         )
 
         def fused_step(graph, w_in, w_out, starts, keep_prob, neg_table,
-                       lr, key):
-            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-            k_walk, k_sgns = jax.random.split(key)
+                       lr, walk_key, sgns_key):
+            # walk and SGNS keys are independent so the streaming driver
+            # can replay the identical walk corpus every epoch (keyed per
+            # batch) while subsampling/negatives still differ per step —
+            # the single-device streaming semantics (models/sgns.py)
+            idx = jax.lax.axis_index(DATA_AXIS)
+            k_walk = jax.random.fold_in(walk_key, idx)
+            k_sgns = jax.random.fold_in(sgns_key, idx)
             walks, eff = self._walk(graph, starts, k_walk)
             return body(
                 w_in, w_out, walks, eff, keep_prob, neg_table, lr, k_sgns
@@ -142,6 +147,7 @@ class MultichipTrainer:
                 P(),
                 P(),
                 P(),
+                P(),
             ),
             out_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
             check_vma=False,
@@ -155,8 +161,9 @@ class MultichipTrainer:
         n = self.graph.num_nodes
 
         def count(graph, starts, key):
-            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-            k_walk, _ = jax.random.split(key)
+            # same walk-key derivation as fused_step, so counting a batch
+            # under a key sees the exact walks training will consume
+            k_walk = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
             walks, eff = self._walk(graph, starts, k_walk)
             valid = jnp.arange(walks.shape[1]) < eff[:, None]
             c = (
@@ -207,15 +214,19 @@ class MultichipTrainer:
         """[N] token counts of the walks this batch of starts generates."""
         return self._count(self.graph, self.shard_batch(starts), key)
 
-    def step(self, w_in, w_out, starts, keep_prob, neg_table, lr, key):
+    def step(self, w_in, w_out, starts, keep_prob, neg_table, lr, key,
+             walk_key=None):
         """One fused walk + SGNS update step.
 
         ``neg_table`` is a shuffled unigram^0.75 sampling table
         (``sgns.build_negative_table``), replicated across the mesh.
+        ``walk_key`` (default: ``key``) seeds walk generation separately
+        from the SGNS randomness — pass a per-batch key to replay the
+        identical walk corpus across epochs.
         """
         return self._step(
             self.graph, w_in, w_out, starts, keep_prob, neg_table,
-            jnp.float32(lr), key,
+            jnp.float32(lr), key if walk_key is None else walk_key, key,
         )
 
 
@@ -255,18 +266,25 @@ def train_streaming_multichip(
         )
     batch += (-batch) % n_shards
     key = jax.random.PRNGKey(seed)
-    k_init, k_train = jax.random.split(key)
+    k_init, k_walks, k_sgns = jax.random.split(key, 3)
 
     batches = [
         starts[lo : lo + batch] for lo in range(0, starts.size, batch)
     ]
 
-    # pass 1: vocabulary statistics over the identical walk stream
+    # pass 1: vocabulary statistics over the identical walk stream the
+    # training epochs will replay (walk keys are per BATCH, not per
+    # step, so every epoch regenerates the same corpus — gensim's
+    # corpus-epochs semantics and the single-device streaming contract).
+    # The per-batch token sums recorded here drive the lr schedule and
+    # the resume replay with MEASURED counts, the same as the
+    # single-device path (models/sgns.py _chunk_lrs).
     counts = jnp.zeros(n, dtype=jnp.float32)
+    batch_tokens = []
     for i, part in enumerate(batches):
-        counts = counts + trainer.count_tokens(
-            part, jax.random.fold_in(k_train, i)
-        )
+        c = trainer.count_tokens(part, jax.random.fold_in(k_walks, i))
+        batch_tokens.append(float(jnp.sum(c)))
+        counts = counts + c
     counts_np = np.asarray(counts)
     keep_prob = jax.device_put(
         sgns._keep_probs(counts, config.sample), trainer._repl_sharding
@@ -306,22 +324,17 @@ def train_streaming_multichip(
                 )
                 resume_step = int(meta["next_step"])
 
-    # lr schedule pinned to expected tokens per batch (walk regeneration
-    # per step makes exact per-batch counts a second sweep; the linear
-    # decay only needs monotone progress)
-    tokens_per_batch = total_tokens / max(len(batches) * epochs, 1)
-
     step_idx = 0
     done_tokens = 0.0
     t0 = _time.perf_counter()
     for epoch in range(epochs):
-        for part in batches:
+        for i, part in enumerate(batches):
             if max_steps is not None and step_idx >= max_steps:
                 if ckpt is not None:
                     ckpt.close()
                 return np.asarray(w_in.astype(jnp.float32))
             if step_idx < resume_step:
-                done_tokens += tokens_per_batch
+                done_tokens += batch_tokens[i]
                 step_idx += 1
                 continue
             lr = max(
@@ -332,9 +345,10 @@ def train_streaming_multichip(
             )
             w_in, w_out = trainer.step(
                 w_in, w_out, trainer.shard_batch(part), keep_prob,
-                neg_table, lr, jax.random.fold_in(k_train, step_idx),
+                neg_table, lr, jax.random.fold_in(k_sgns, step_idx),
+                walk_key=jax.random.fold_in(k_walks, i),
             )
-            done_tokens += tokens_per_batch
+            done_tokens += batch_tokens[i]
             step_idx += 1
             sgns._progress(verbose, t0, done_tokens, total_tokens)
             if ckpt is not None and step_idx % checkpoint_every == 0:

@@ -152,3 +152,33 @@ def test_cli_walks_task(tmp_path, karate_edg):
         assert 1 <= len(toks) <= 7
         for a, b in zip(toks, toks[1:]):
             assert idmap[b] in adj._adj[idmap[a]], f"non-edge {a}->{b}"
+
+
+def test_cli_trainer_sequential(tmp_path, karate_edg):
+    """--trainer sequential runs the native host trainer end to end."""
+    from pecanpy_tpu import cli
+    from pecanpy_tpu.native.loader import native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    out = tmp_path / "k.seq.emb.npz"
+    cli.main([
+        "--input", karate_edg, "--output", str(out),
+        "--dimensions", "8", "--walk-length", "6", "--num-walks", "2",
+        "--window-size", "3", "--random_state", "0",
+        "--trainer", "sequential", "--workers", "2",
+    ])
+    z = np.load(out)
+    assert z["data"].shape == (34, 8)
+    assert np.isfinite(z["data"]).all()
+    assert np.abs(z["data"]).sum() > 0
+
+
+def test_cli_trainer_sequential_rejects_devices(tmp_path, karate_edg):
+    from pecanpy_tpu import cli
+
+    with pytest.raises(ValueError, match="sequential"):
+        cli.main([
+            "--input", karate_edg, "--output", str(tmp_path / "x.npz"),
+            "--trainer", "sequential", "--devices", "2",
+        ])

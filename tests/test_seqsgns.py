@@ -150,3 +150,56 @@ def test_sequential_trains_communities(rng):
     )
     f1 = td.micro_f1_nearest_centroid(w_in, labels, rng)
     assert f1 >= 0.9, f"sequential trainer micro-F1 {f1:.3f} below 0.9"
+
+
+@pytest.mark.skipif(not native_available(), reason="no native toolchain")
+def test_hogwild_trains_communities(rng):
+    """The multithreaded (hogwild) path learns the same SBM — races
+    degrade determinism, not quality (the gensim workers>1 contract)."""
+    import test_downstream as td
+
+    from pecanpy_tpu import pecanpy
+    from pecanpy_tpu.models import sgns
+
+    adj, labels = td.sbm_graph(rng)
+    ids = [str(i) for i in range(adj.shape[0])]
+    g = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    walks, eff = g.simulate_walks_device(8, 30)
+    config = sgns.SGNSConfig(dim=32, window=5, epochs=3, seed=7, sample=0.0)
+    emb = sgns.train_sequential(
+        np.asarray(walks), np.asarray(eff), g.num_nodes, config, workers=3
+    )
+    assert emb.shape == (g.num_nodes, 32)
+    assert np.isfinite(emb).all()
+    f1 = td.micro_f1_nearest_centroid(emb, labels, rng)
+    assert f1 >= 0.9, f"hogwild trainer micro-F1 {f1:.3f} below 0.9"
+
+
+@pytest.mark.skipif(not native_available(), reason="no native toolchain")
+def test_embed_trainer_sequential(karate_edg):
+    """embed(trainer='sequential') end to end on karate."""
+    from pecanpy_tpu import pecanpy
+
+    g = pecanpy.SparseOTF(random_state=0, workers=2)
+    g.read_edg(karate_edg, weighted=False, directed=False)
+    emb = g.embed(
+        dim=8, num_walks=2, walk_length=10, window_size=3,
+        trainer="sequential",
+    )
+    assert emb.shape == (34, 8)
+    assert np.isfinite(emb).all()
+    assert np.abs(emb).sum() > 0
+
+
+def test_embed_trainer_rejects_unknown(karate_edg):
+    from pecanpy_tpu import pecanpy
+
+    g = pecanpy.SparseOTF(random_state=0)
+    g.read_edg(karate_edg, weighted=False, directed=False)
+    with pytest.raises(ValueError, match="unknown trainer"):
+        g.embed(dim=4, num_walks=1, walk_length=5, trainer="gensim")
+    with pytest.raises(ValueError, match="sequential"):
+        g.embed(
+            dim=4, num_walks=1, walk_length=5,
+            trainer="sequential", n_devices=2,
+        )
