@@ -8,10 +8,12 @@ Prints ONE JSON line:
 ``value`` is walker-steps/second of the device walk engine (SparseOTF
 semantics, weighted, p=0.5 q=2) on a synthetic 1M-node graph with mean
 degree ~16 (the BASELINE.md workload shape). ``vs_baseline`` compares
-against a CPU reference implementing the identical transition math as
-vectorized numpy on this host — a stand-in for PecanPy's Numba walker,
-which cannot run here (no numba in the image); vectorized numpy is at
-least competitive with PecanPy's scalar per-step loop on one CPU.
+against a compiled scalar CPU walker with the identical transition math
+(``native/refwalker.cpp``, -O3, all host threads) — the closest
+available stand-in for PecanPy's Numba walk loop, which cannot run here
+(no numba in the image); both JIT the same scalar per-step loop to
+machine code. A vectorized-numpy fallback baseline runs when the
+native toolchain is missing.
 """
 import json
 import os
@@ -92,6 +94,10 @@ def cpu_reference_steps_per_sec(nbr, wgt, deg, starts, n_steps, p, q):
 
 
 def main():
+    from pecanpy_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -154,17 +160,47 @@ def main():
     print(f"device: {device_sps:.3e} steps/s (best of 3)", file=sys.stderr)
 
     # CPU baseline on the same graph, scaled-down batch (host arrays —
-    # never transfer the padded layout back over the device link)
-    from pecanpy_tpu.ops.layout import build_padded_host
+    # never transfer the padded layout back over the device link).
+    # Preferred: the compiled scalar walker (PecanPy's execution shape,
+    # all host threads); fallback: the vectorized-numpy reference.
+    from pecanpy_tpu.native.loader import (
+        native_available,
+        walk_node2vec_native,
+    )
 
-    nbr_host, wgt_host, deg_host, _, _ = build_padded_host(
-        indptr, indices, data
-    )
-    cpu_starts = rng.integers(0, n, 8192, dtype=np.int64)
-    cpu_sps = cpu_reference_steps_per_sec(
-        nbr_host, wgt_host, deg_host, cpu_starts, 8, p, q
-    )
-    print(f"cpu baseline: {cpu_sps:.3e} steps/s", file=sys.stderr)
+    if native_available():
+        cpu_threads = os.cpu_count() or 1
+        cpu_walks = 2048
+        cpu_starts = rng.integers(0, n, cpu_walks, dtype=np.int32)
+        walk_node2vec_native(  # warm the thread pool / page the arrays
+            indptr, indices, data, cpu_starts[:64], walk_length, p, q,
+            seed=1, workers=cpu_threads,
+        )
+        t0 = time.perf_counter()
+        _, eff = walk_node2vec_native(
+            indptr, indices, data, cpu_starts, walk_length, p, q,
+            seed=1, workers=cpu_threads,
+        )
+        cpu_sps = float(eff.sum() - cpu_walks) / (time.perf_counter() - t0)
+        print(
+            f"cpu baseline (compiled scalar walker, {cpu_threads} "
+            f"thread(s)): {cpu_sps:.3e} steps/s",
+            file=sys.stderr,
+        )
+    else:
+        from pecanpy_tpu.ops.layout import build_padded_host
+
+        nbr_host, wgt_host, deg_host, _, _ = build_padded_host(
+            indptr, indices, data
+        )
+        cpu_starts = rng.integers(0, n, 8192, dtype=np.int64)
+        cpu_sps = cpu_reference_steps_per_sec(
+            nbr_host, wgt_host, deg_host, cpu_starts, 8, p, q
+        )
+        print(
+            f"cpu baseline (vectorized numpy): {cpu_sps:.3e} steps/s",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(

@@ -326,6 +326,9 @@ def learn_embeddings(args, g, walks, eff_len):
 
 def main(argv=None):
     """End-to-end pipeline: read -> preprocess -> walk -> embed -> save."""
+    from pecanpy_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args(argv)
     g = read_graph(args)
     if g is None:  # conversion task

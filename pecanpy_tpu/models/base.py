@@ -72,6 +72,9 @@ class Base(BaseGraph):
         degree_cap: Optional[int] = DEFAULT_DEGREE_CAP,
     ):
         super().__init__()
+        from pecanpy_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.degree_cap = degree_cap
         self.p = p
         self.q = q

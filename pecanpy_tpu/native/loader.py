@@ -19,6 +19,7 @@ _SRCS = [
     os.path.join(_DIR, "edgelist.cpp"),
     os.path.join(_DIR, "hubtables.cpp"),
     os.path.join(_DIR, "seqsgns.cpp"),
+    os.path.join(_DIR, "refwalker.cpp"),
 ]
 _LIB = os.path.join(_DIR, "_edgelist.so")
 
@@ -131,6 +132,22 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.pp_train_sgns_sequential_mt.argtypes = (
         lib.pp_train_sgns_sequential.argtypes + [ctypes.c_int]  # workers
     )
+
+    lib.pp_walk_node2vec.restype = None
+    lib.pp_walk_node2vec.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),  # indptr
+        ctypes.POINTER(ctypes.c_int32),  # indices
+        ctypes.POINTER(ctypes.c_float),  # data
+        ctypes.POINTER(ctypes.c_int32),  # starts
+        ctypes.c_longlong,  # n_walks
+        ctypes.c_int,  # walk_length
+        ctypes.c_double,  # p
+        ctypes.c_double,  # q
+        ctypes.c_uint64,  # seed
+        ctypes.c_int,  # workers
+        ctypes.POINTER(ctypes.c_int32),  # out_walks
+        ctypes.POINTER(ctypes.c_int32),  # out_eff
+    ]
     return lib
 
 
@@ -276,6 +293,54 @@ def train_sgns_sequential_native(
     if workers > 1:
         return int(lib.pp_train_sgns_sequential_mt(*args, int(workers)))
     return int(lib.pp_train_sgns_sequential(*args))
+
+
+def walk_node2vec_native(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    starts: np.ndarray,
+    walk_length: int,
+    p: float,
+    q: float,
+    seed: int = 0,
+    workers: int = 1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Reference-semantics scalar CPU walker (``native/refwalker.cpp``).
+
+    The compiled stand-in for PecanPy's Numba walk loop
+    (``pecanpy.py:164-210`` + ``sparse_rw.py:51-91`` + the SparseOTF
+    inverse-CDF draw): one scalar walker per thread, exact 2nd-order
+    node2vec law, early termination + resting emission. Used by
+    ``bench.py`` as the CPU baseline and available as a no-device
+    fallback. Returns (walks [W, L+1] i32, eff_len [W] i32).
+    """
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native walker unavailable")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    starts = np.ascontiguousarray(starts, dtype=np.int32)
+    n_walks = starts.size
+    walks = np.empty((n_walks, walk_length + 1), dtype=np.int32)
+    eff = np.empty(n_walks, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.pp_walk_node2vec(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(i32p),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        starts.ctypes.data_as(i32p),
+        n_walks,
+        int(walk_length),
+        float(p),
+        float(q),
+        int(seed),
+        int(workers if workers and workers > 0 else os.cpu_count() or 1),
+        walks.ctypes.data_as(i32p),
+        eff.ctypes.data_as(i32p),
+    )
+    return walks, eff
 
 
 def build_hub_tables_native(indptr, indices, data, hub_ids):

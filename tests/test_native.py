@@ -106,3 +106,87 @@ def test_blank_lines_skipped(tmp_path):
     g.read_edg(path, True, False, engine="native")
     assert g.num_nodes == 3
     assert g.num_edges == 4
+
+
+# -- reference-semantics native walker (native/refwalker.cpp) ------------
+
+
+def _adj_to_csr(adj):
+    indptr = np.zeros(adj.shape[0] + 1, dtype=np.int64)
+    indices, data = [], []
+    for i in range(adj.shape[0]):
+        nbrs = np.nonzero(adj[i])[0]
+        indptr[i + 1] = indptr[i] + nbrs.size
+        indices.append(nbrs)
+        data.append(adj[i, nbrs])
+    return (
+        indptr,
+        np.concatenate(indices).astype(np.int32),
+        np.concatenate(data).astype(np.float32),
+    )
+
+
+@pytest.mark.skipif(
+    not native.loader.native_available(), reason="no native toolchain"
+)
+@pytest.mark.parametrize("workers", [1, 3])
+def test_refwalker_edges_and_termination(rng, workers):
+    """Every consecutive pair is an edge; sinks terminate early with the
+    effective length recorded and resting emission after it."""
+    import oracle
+
+    from pecanpy_tpu.native.loader import walk_node2vec_native
+
+    n = 30
+    adj = oracle.random_graph(rng, n, mean_degree=4.0, directed=True)
+    adj[5, :] = 0.0  # sink node
+    indptr, indices, data = _adj_to_csr(adj)
+    starts = rng.integers(0, n, 500).astype(np.int32)
+    walks, eff = walk_node2vec_native(
+        indptr, indices, data, starts, 12, 0.5, 2.0, seed=3,
+        workers=workers,
+    )
+    assert walks.shape == (500, 13)
+    assert np.array_equal(walks[:, 0], starts)
+    for row, e in zip(walks, eff):
+        assert 1 <= e <= 13
+        for a, b in zip(row[: e - 1], row[1 : e]):
+            assert adj[a, b] > 0, f"non-edge {a}->{b}"
+        assert (row[e - 1 :] == row[e - 1]).all()  # resting emission
+        if e < 13:
+            assert indptr[row[e - 1]] == indptr[row[e - 1] + 1]  # sink
+
+
+@pytest.mark.skipif(
+    not native.loader.native_available(), reason="no native toolchain"
+)
+def test_refwalker_transition_law(rng):
+    """Empirical 1st/2nd-order transition frequencies match the numpy
+    oracle of the reference kernels (sparse_rw.py:37-91)."""
+    import oracle
+
+    from pecanpy_tpu.native.loader import walk_node2vec_native
+
+    n, p, q = 12, 0.5, 2.0
+    adj = oracle.random_graph(rng, n, mean_degree=5.0, directed=False)
+    indptr, indices, data = _adj_to_csr(adj)
+    s = int(np.argmax(np.diff(indptr)))  # well-connected start
+    walks, eff = walk_node2vec_native(
+        indptr, indices, data,
+        np.full(60_000, s, dtype=np.int32), 2, p, q, seed=11, workers=1,
+    )
+    assert (eff == 3).all()
+
+    nbrs_s = indices[indptr[s] : indptr[s + 1]]
+    f1 = np.array([(walks[:, 1] == x).mean() for x in nbrs_s])
+    np.testing.assert_allclose(
+        f1, oracle.first_order_probs(adj, s), atol=0.015
+    )
+
+    x = int(nbrs_s[np.argmax(f1)])  # best-sampled second state
+    sel = walks[:, 1] == x
+    nbrs_x = indices[indptr[x] : indptr[x + 1]]
+    f2 = np.array([(walks[sel, 2] == y).mean() for y in nbrs_x])
+    np.testing.assert_allclose(
+        f2, oracle.node2vec_probs(adj, x, s, p, q), atol=0.025
+    )
