@@ -16,12 +16,33 @@ WALKS = 32_768
 T_COLS = 81
 
 
-def run_config(label, config_kwargs, disable_applies=False):
+def run_config(label, config_kwargs, disable_applies=False,
+               fake_sort=False):
     import jax
     import jax.numpy as jnp
 
     from pecanpy_tpu.models import sgns
     from pecanpy_tpu.ops import apply as apply_lib
+
+    if fake_sort:
+        # TIMING-ONLY ablation: replace the update-stream argsorts with
+        # iota (destroys correctness, preserves every downstream shape)
+        # to price the sort itself inside the apply block. The jitted
+        # appliers cache executables, so drop them before and after.
+        class _FakeSortJnp:
+            def __init__(self, real):
+                self._real = real
+
+            def __getattr__(self, name):
+                if name == "argsort":
+                    return lambda x: self._real.arange(
+                        x.shape[0], dtype=self._real.int32
+                    )
+                return getattr(self._real, name)
+
+        apply_lib.apply_mean_updates.clear_cache()
+        apply_lib.apply_mean_updates_two.clear_cache()
+        apply_lib.jnp = _FakeSortJnp(jnp)
 
     rng = np.random.default_rng(0)
     walks = jnp.asarray(rng.integers(0, N, (WALKS, T_COLS), dtype=np.int32))
@@ -91,6 +112,12 @@ def run_config(label, config_kwargs, disable_applies=False):
     finally:
         apply_lib.apply_mean_updates = saved[0]
         apply_lib.apply_mean_updates_two = saved[1]
+        if fake_sort:
+            import jax.numpy as real_jnp
+
+            apply_lib.jnp = real_jnp
+            apply_lib.apply_mean_updates.clear_cache()
+            apply_lib.apply_mean_updates_two.clear_cache()
         if disable_applies:
             import importlib
 
@@ -104,18 +131,21 @@ def main():
 
     only = os.environ.get("BISECT_ONLY", "")
     cases = [
-        ("full (defaults)         ", {}, False),
-        ("applies disabled        ", {}, True),
-        ("negative=1              ", {"negative": 1}, False),
-        ("neg_pool off            ", {"neg_pool": 0}, False),
-        ("sample off (no subsort) ", {"sample": 0.0}, False),
-        ("window=3                ", {"window": 3}, False),
-        ("window=3, no applies    ", {"window": 3}, True),
+        ("full (defaults)         ", {}, False, False),
+        ("applies disabled        ", {}, True, False),
+        ("apply sorts ablated     ", {}, False, True),
+        ("negative=1              ", {"negative": 1}, False, False),
+        ("neg_pool off            ", {"neg_pool": 0}, False, False),
+        ("sample off (no subsort) ", {"sample": 0.0}, False, False),
+        ("window=3                ", {"window": 3}, False, False),
+        ("window=3, no applies    ", {"window": 3}, True, False),
     ]
-    for label, kwargs, disable in cases:
+    for label, kwargs, disable, fake_sort in cases:
         if only and only not in label:
             continue
-        run_config(label, kwargs, disable_applies=disable)
+        run_config(
+            label, kwargs, disable_applies=disable, fake_sort=fake_sort
+        )
 
 
 if __name__ == "__main__":
