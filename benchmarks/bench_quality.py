@@ -101,8 +101,10 @@ def main():
         )
     else:
         bw = os.environ.get("BENCH_BATCH_WALKS", "")
+        epochs = int(os.environ.get("BENCH_EPOCHS", "1"))
         emb = g.embed(
             dim=128, num_walks=10, walk_length=80, window_size=10,
+            epochs=epochs,
             table_dtype=table_dtype,
             batch_walks=int(bw) if bw else None,
         )
