@@ -140,6 +140,14 @@ def parse_args(argv=None):
         "auto: on above ~1e8 tokens.",
     )
     parser.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="Capture a jax.profiler trace of the pipeline into DIR "
+        "(view with TensorBoard / xprof). Replaces the reference's "
+        "Timer-only observability with device-level traces.",
+    )
+    parser.add_argument(
         "--trainer",
         choices=["tpu", "sequential"],
         default="tpu",
@@ -330,6 +338,15 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = parse_args(argv)
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            return _run(args)
+    return _run(args)
+
+
+def _run(args):
     g = read_graph(args)
     if g is None:  # conversion task
         return

@@ -182,3 +182,22 @@ def test_cli_trainer_sequential_rejects_devices(tmp_path, karate_edg):
             "--input", karate_edg, "--output", str(tmp_path / "x.npz"),
             "--trainer", "sequential", "--devices", "2",
         ])
+
+
+def test_cli_profile_flag(tmp_path, karate_edg):
+    """--profile captures a jax.profiler trace of the pipeline."""
+    import os
+
+    from pecanpy_tpu import cli
+
+    out = tmp_path / "k.emb.npz"
+    trace = tmp_path / "trace"
+    cli.main([
+        "--input", karate_edg, "--output", str(out),
+        "--dimensions", "8", "--walk-length", "5", "--num-walks", "1",
+        "--window-size", "3", "--random_state", "0",
+        "--profile", str(trace),
+    ])
+    assert np.load(out)["data"].shape == (34, 8)
+    files = [f for _, _, fs in os.walk(trace) for f in fs]
+    assert files, "no trace files written"
