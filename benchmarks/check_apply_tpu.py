@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """TPU correctness check: Pallas applier vs the scatter reference, for
 the one-stream and merged two-stream paths (f32 and bf16 tables)."""
+import sys
+
 import numpy as np
+
+sys.path.insert(0, ".")
 
 
 def main():

@@ -59,14 +59,20 @@ most updates; stochastic rounding keeps SGD unbiased. The CPU fallback
 is a TPU option).
 """
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024  # table rows per tile (VMEM budget + one-hot dot height)
-CHUNK = 1024  # update rows per chunk (one-hot dot contraction depth)
+# Table rows per tile (VMEM budget + one-hot dot height) and update rows
+# per chunk (one-hot dot contraction depth). The one-hot dot work per
+# kernel pass scales as ~(N + R) * CHUNK * dim — independent of TILE —
+# so CHUNK is the FLOPs lever; both stay env-tunable for sweeps
+# (CHUNK must be a multiple of 128).
+TILE = int(os.environ.get("PECANPY_TPU_APPLY_TILE", 1024))
+CHUNK = int(os.environ.get("PECANPY_TPU_APPLY_CHUNK", 1024))
 _LANE = 128
 _EPS = 1e-9
 
@@ -109,7 +115,7 @@ def _applier_kernel(
     flags_ref,  # [V] scalar-prefetch: FIRST/LAST/NOOP bits
     seed_ref,  # [1] int32 scalar-prefetch: stochastic-rounding seed
     tile_ref,  # [TILE, D] VMEM: this visit's table tile
-    ids_ref,  # [1, 8, CHUNK/8] VMEM: this visit's sorted destination rows
+    ids_ref,  # [1, CHUNK/128, 128] VMEM: this visit's sorted dest rows
     upd_ref,  # [CHUNK, D] VMEM: this visit's PRE-SCALED payload rows
     out_ref,  # [TILE, D] VMEM (aliases the table buffer)
     sums,  # [TILE, D] f32 VMEM scratch
@@ -203,7 +209,7 @@ def _apply_pallas(table, ids_s, upd_s, bounds, seed):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 8, CHUNK // 8),
+                (1, CHUNK // _LANE, _LANE),
                 lambda g, t, c, f, sd: (c[g], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -280,9 +286,9 @@ def _finalize_and_run(table, ids_s, upd_s, rng_seed):
         rng_seed = jnp.int32(0)
     out = _apply_pallas(
         table,
-        # ids ship as [R/CHUNK, 8, 128] (row-major = stream order): one
-        # (1, 8, 128) block per visit — block tails must be (8, 128)-tiled
-        ids_s.reshape(-1, 8, CHUNK // 8),
+        # ids ship as [R/CHUNK, CHUNK/128, 128] (row-major = stream
+        # order): one (1, CHUNK/128, 128) block per visit, lane-tiled
+        ids_s.reshape(-1, CHUNK // _LANE, _LANE),
         upd_s,
         bounds,
         rng_seed.reshape(1).astype(jnp.int32),
