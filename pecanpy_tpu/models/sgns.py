@@ -126,6 +126,17 @@ def resolve_table_dtype(config: SGNSConfig) -> jnp.dtype:
     return jnp.dtype(name)
 
 
+def _fetch_f32(w_in: jax.Array) -> np.ndarray:
+    """Fetch the trained table to host as float32.
+
+    bf16 tables transfer in bf16 (half the device->host bytes — the
+    final [N, dim] fetch is ~30 s for 512 MB through a tunneled link)
+    and upcast on the host; bf16 -> f32 is exact, so the result is
+    bitwise-identical to casting on device first.
+    """
+    return np.asarray(w_in).astype(np.float32, copy=False)
+
+
 def _count_tokens(
     walks: jax.Array, eff_len: jax.Array, num_nodes: int
 ) -> jax.Array:
@@ -585,7 +596,7 @@ def train(
     checkpoint_every: int = 100,
     max_steps: Optional[int] = None,
     verbose: bool = False,
-) -> jax.Array:
+) -> np.ndarray:
     """Train SGNS embeddings from device walks.
 
     Args:
@@ -697,7 +708,7 @@ def train(
 
     if ckpt is not None:
         ckpt.close()
-    return w_in.astype(jnp.float32)
+    return _fetch_f32(w_in)
 
 
 def _span_len(remaining, step_idx, resume_step, max_steps, checkpoint_every):
@@ -747,7 +758,7 @@ def train_streaming(
     checkpoint_every: int = 100,
     max_steps: Optional[int] = None,
     cache_walks_bytes: Optional[int] = None,
-) -> jax.Array:
+) -> np.ndarray:
     """Two-pass streaming trainer: walks regenerated OR device-cached.
 
     Pass 1 sweeps the walk stream once to build the vocabulary
@@ -933,7 +944,7 @@ def train_streaming(
             )
     if ckpt is not None:
         ckpt.close()
-    return w_in.astype(jnp.float32)
+    return _fetch_f32(w_in)
 
 
 def train_sequential(

@@ -332,7 +332,7 @@ def train_streaming_multichip(
             if max_steps is not None and step_idx >= max_steps:
                 if ckpt is not None:
                     ckpt.close()
-                return np.asarray(w_in.astype(jnp.float32))
+                return sgns._fetch_f32(w_in)
             if step_idx < resume_step:
                 done_tokens += batch_tokens[i]
                 step_idx += 1
@@ -355,4 +355,4 @@ def train_streaming_multichip(
                 ckpt.save(step_idx, w_in, w_out, {"next_step": step_idx})
     if ckpt is not None:
         ckpt.close()
-    return np.asarray(w_in.astype(jnp.float32))
+    return sgns._fetch_f32(w_in)
