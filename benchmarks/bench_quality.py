@@ -93,7 +93,8 @@ def main():
     # near the update cap — large forced chunks throttle learning
     import os
 
-    table_dtype = os.environ.get("BENCH_TABLE_DTYPE", "float32")
+    # "auto" = the shipping default (bfloat16 on TPU); override to pin
+    table_dtype = os.environ.get("BENCH_TABLE_DTYPE", "auto")
     if sequential:
         emb = embed_sequential(
             g, dim=128, num_walks=10, walk_length=80, window=10,

@@ -164,9 +164,10 @@ def generate_walks_queued(
     unstarted walk from the queue. The straggler tail is then paid once
     per WORKLOAD, not once per batch — per-walk round inflation drops
     from ~2.3x toward the ~1/accept_per_round floor (~1.4x at the
-    default T=2), a >1.4x throughput lift at W >> B with no change to
-    the sampled law (measured 8.7M -> 12.8M steps/s on the 1M-node
-    Chung-Lu bench at W=8B).
+    default T=2) with no change to the sampled law. Measured on the
+    1M-node Chung-Lu bench at W=8B: 8.7M -> 9.5M steps/s in the
+    interleaved A/B (`diag_queued.py`, the number BENCH.md records; a
+    first non-interleaved reading of 12.8M was tunnel-variance luck).
 
     Per-walk semantics (start column, early termination, effective
     lengths, resting-node emission) match ``generate_walks``; each
