@@ -172,13 +172,19 @@ def main():
         cpu_threads = os.cpu_count() or 1
         cpu_walks = 2048
         cpu_starts = rng.integers(0, n, cpu_walks, dtype=np.int32)
+        # dtype conversions happen OUTSIDE the timed region (the int64 ->
+        # int32 copy of a 16M-entry indices array would otherwise
+        # dominate the measurement)
+        indptr64 = np.ascontiguousarray(indptr, dtype=np.int64)
+        indices32 = np.ascontiguousarray(indices, dtype=np.int32)
+        data32 = np.ascontiguousarray(data, dtype=np.float32)
         walk_node2vec_native(  # warm the thread pool / page the arrays
-            indptr, indices, data, cpu_starts[:64], walk_length, p, q,
-            seed=1, workers=cpu_threads,
+            indptr64, indices32, data32, cpu_starts[:64], walk_length,
+            p, q, seed=1, workers=cpu_threads,
         )
         t0 = time.perf_counter()
         _, eff = walk_node2vec_native(
-            indptr, indices, data, cpu_starts, walk_length, p, q,
+            indptr64, indices32, data32, cpu_starts, walk_length, p, q,
             seed=1, workers=cpu_threads,
         )
         cpu_sps = float(eff.sum() - cpu_walks) / (time.perf_counter() - t0)

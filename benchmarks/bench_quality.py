@@ -98,7 +98,8 @@ def main():
     if sequential:
         emb = embed_sequential(
             g, dim=128, num_walks=10, walk_length=80, window=10,
-            epochs=1, seed=0, workers=workers,
+            epochs=int(os.environ.get("BENCH_EPOCHS", "1")),
+            seed=0, workers=workers,
         )
     else:
         bw = os.environ.get("BENCH_BATCH_WALKS", "")

@@ -314,6 +314,11 @@ def walk_node2vec_native(
     node2vec law, early termination + resting emission. Used by
     ``bench.py`` as the CPU baseline and available as a no-device
     fallback. Returns (walks [W, L+1] i32, eff_len [W] i32).
+
+    Precondition (same as the reference's ``isnotin`` sorted merge):
+    every CSR row's indices must be sorted ascending — the invariant
+    ``AdjlstGraph.to_csr`` and every in-repo builder guarantee. Unsorted
+    rows silently mis-classify common neighbors as out-edges.
     """
     lib = _get_lib()
     if lib is None:

@@ -73,6 +73,16 @@ from jax.experimental.pallas import tpu as pltpu
 # (CHUNK must be a multiple of 128).
 TILE = int(os.environ.get("PECANPY_TPU_APPLY_TILE", 1024))
 CHUNK = int(os.environ.get("PECANPY_TPU_APPLY_CHUNK", 1024))
+if CHUNK <= 0 or CHUNK % 128:
+    raise ValueError(
+        f"PECANPY_TPU_APPLY_CHUNK must be a positive multiple of 128 "
+        f"(the ids block is lane-tiled), got {CHUNK}"
+    )
+if TILE <= 0 or TILE % 8:
+    raise ValueError(
+        f"PECANPY_TPU_APPLY_TILE must be a positive multiple of 8 "
+        f"(sublane tiling), got {TILE}"
+    )
 _LANE = 128
 _EPS = 1e-9
 

@@ -220,13 +220,16 @@ class MultichipTrainer:
 
         ``neg_table`` is a shuffled unigram^0.75 sampling table
         (``sgns.build_negative_table``), replicated across the mesh.
-        ``walk_key`` (default: ``key``) seeds walk generation separately
-        from the SGNS randomness — pass a per-batch key to replay the
-        identical walk corpus across epochs.
+        ``walk_key`` seeds walk generation separately from the SGNS
+        randomness — pass a per-batch key to replay the identical walk
+        corpus across epochs. Default (None) splits ``key`` so the two
+        streams stay independent.
         """
+        if walk_key is None:
+            walk_key, key = jax.random.split(key)
         return self._step(
             self.graph, w_in, w_out, starts, keep_prob, neg_table,
-            jnp.float32(lr), key if walk_key is None else walk_key, key,
+            jnp.float32(lr), walk_key, key,
         )
 
 

@@ -40,7 +40,10 @@ def enable_compilation_cache() -> None:
         return  # unwritable home (sandbox): run uncached
     jax.config.update("jax_compilation_cache_dir", path)
     # cache everything that took meaningful compile time; the default
-    # thresholds skip small programs, which through a remote-compile
-    # tunnel still cost seconds each
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # threshold skips small programs, which through a remote-compile
+    # tunnel still cost seconds each. Only touched when still at jax's
+    # defaults — a user who tuned these keeps their values.
+    if jax.config.jax_persistent_cache_min_compile_time_secs == 1.0:
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5
+        )
