@@ -170,7 +170,10 @@ def main():
 
     if native_available():
         cpu_threads = os.cpu_count() or 1
-        cpu_walks = 2048
+        # scale the workload with the thread count so per-call thread
+        # spawn/join (no persistent pool) stays negligible in the
+        # timed region on many-core hosts
+        cpu_walks = max(2048, 1024 * cpu_threads)
         cpu_starts = rng.integers(0, n, cpu_walks, dtype=np.int32)
         # dtype conversions happen OUTSIDE the timed region (the int64 ->
         # int32 copy of a 16M-entry indices array would otherwise

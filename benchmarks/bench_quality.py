@@ -59,9 +59,12 @@ def main():
 
     args = sys.argv[1:]
     sequential = "--trainer" in args and "sequential" in args
-    workers = (
-        int(args[args.index("--workers") + 1]) if "--workers" in args else 1
-    )
+    workers = 1
+    if "--workers" in args:
+        i = args.index("--workers")
+        if i + 1 >= len(args):
+            sys.exit("--workers needs a value")
+        workers = int(args[i + 1])
     pos = [
         a
         for i, a in enumerate(args)

@@ -16,33 +16,50 @@ WALKS = 32_768
 T_COLS = 81
 
 
-def run_config(label, config_kwargs, disable_applies=False,
-               fake_sort=False):
+def sort_micro():
+    """Price the apply-block argsorts directly (slope-timed).
+
+    Bitonic sort cost is data-independent, so timing standalone
+    argsorts at the apply streams' exact sizes (the [BT] W_in stream
+    and the [BT + M] merged W_out composite) gives the sorts' in-step
+    cost without perturbing the pipeline. (An earlier in-place ablation
+    that swapped argsort for iota also fed UNSORTED ids to the visit
+    planner, corrupting the tile bounds and the kernel's work — the
+    number it produced mismeasured the non-sort side.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    for label, r in (("w_in stream", 100_096), ("w_out merged", 132_864)):
+        ids = jnp.asarray(rng.integers(0, 2 * N, r, dtype=np.int32))
+
+        def chain(x, k):
+            for i in range(k):
+                x = jnp.argsort(x + i)  # +i defeats CSE between links
+            return x
+
+        lo = jax.jit(lambda x: chain(x, 2))
+        hi = jax.jit(lambda x: chain(x, 10))
+        np.asarray(lo(ids)[:1]), np.asarray(hi(ids)[:1])
+        t = {}
+        for name, fn in (("lo", lo), ("hi", hi)):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(fn(ids)[:1])
+                best = min(best, time.perf_counter() - t0)
+            t[name] = best
+        per = (t["hi"] - t["lo"]) / 8
+        print(f"argsort [{r}] ({label}): {per * 1e3:.2f} ms", flush=True)
+
+
+def run_config(label, config_kwargs, disable_applies=False):
     import jax
     import jax.numpy as jnp
 
     from pecanpy_tpu.models import sgns
     from pecanpy_tpu.ops import apply as apply_lib
-
-    if fake_sort:
-        # TIMING-ONLY ablation: replace the update-stream argsorts with
-        # iota (destroys correctness, preserves every downstream shape)
-        # to price the sort itself inside the apply block. The jitted
-        # appliers cache executables, so drop them before and after.
-        class _FakeSortJnp:
-            def __init__(self, real):
-                self._real = real
-
-            def __getattr__(self, name):
-                if name == "argsort":
-                    return lambda x: self._real.arange(
-                        x.shape[0], dtype=self._real.int32
-                    )
-                return getattr(self._real, name)
-
-        apply_lib.apply_mean_updates.clear_cache()
-        apply_lib.apply_mean_updates_two.clear_cache()
-        apply_lib.jnp = _FakeSortJnp(jnp)
 
     rng = np.random.default_rng(0)
     walks = jnp.asarray(rng.integers(0, N, (WALKS, T_COLS), dtype=np.int32))
@@ -112,12 +129,6 @@ def run_config(label, config_kwargs, disable_applies=False,
     finally:
         apply_lib.apply_mean_updates = saved[0]
         apply_lib.apply_mean_updates_two = saved[1]
-        if fake_sort:
-            import jax.numpy as real_jnp
-
-            apply_lib.jnp = real_jnp
-            apply_lib.apply_mean_updates.clear_cache()
-            apply_lib.apply_mean_updates_two.clear_cache()
         if disable_applies:
             import importlib
 
@@ -131,21 +142,20 @@ def main():
 
     only = os.environ.get("BISECT_ONLY", "")
     cases = [
-        ("full (defaults)         ", {}, False, False),
-        ("applies disabled        ", {}, True, False),
-        ("apply sorts ablated     ", {}, False, True),
-        ("negative=1              ", {"negative": 1}, False, False),
-        ("neg_pool off            ", {"neg_pool": 0}, False, False),
-        ("sample off (no subsort) ", {"sample": 0.0}, False, False),
-        ("window=3                ", {"window": 3}, False, False),
-        ("window=3, no applies    ", {"window": 3}, True, False),
+        ("full (defaults)         ", {}, False),
+        ("applies disabled        ", {}, True),
+        ("negative=1              ", {"negative": 1}, False),
+        ("neg_pool off            ", {"neg_pool": 0}, False),
+        ("sample off (no subsort) ", {"sample": 0.0}, False),
+        ("window=3                ", {"window": 3}, False),
+        ("window=3, no applies    ", {"window": 3}, True),
     ]
-    for label, kwargs, disable, fake_sort in cases:
+    for label, kwargs, disable in cases:
         if only and only not in label:
             continue
-        run_config(
-            label, kwargs, disable_applies=disable, fake_sort=fake_sort
-        )
+        run_config(label, kwargs, disable_applies=disable)
+    if not only or "argsort" in only:
+        sort_micro()
 
 
 if __name__ == "__main__":

@@ -388,38 +388,24 @@ class Base(BaseGraph):
             raise ValueError(
                 f"unknown trainer {trainer!r}; use 'tpu' or 'sequential'"
             )
-        if trainer == "sequential":
+        sequential = trainer == "sequential"
+        if sequential:
             if n_devices is not None and n_devices > 1:
                 raise ValueError(
                     "trainer='sequential' runs on the host; it cannot be "
                     "combined with n_devices > 1"
                 )
-            total_tokens = self.num_nodes * num_walks * (walk_length + 1)
-            if total_tokens > 5e7:
+            seq_tokens = self.num_nodes * num_walks * (walk_length + 1)
+            if seq_tokens > 5e7:
                 import warnings
 
                 warnings.warn(
-                    f"trainer='sequential' trains ~{total_tokens:.1e} "
+                    f"trainer='sequential' trains ~{seq_tokens:.1e} "
                     "tokens on host CPU threads — expect minutes to "
                     "hours; the default TPU trainer is ~2 orders of "
                     "magnitude faster at this scale",
                     stacklevel=2,
                 )
-            timed_walk = Timer("generate walks", verbose)(
-                self.simulate_walks_device
-            )
-            walks, eff_len = timed_walk(num_walks, walk_length)
-            timed_train = Timer("train embeddings (sequential)", verbose)(
-                sgns.train_sequential
-            )
-            return timed_train(
-                np.asarray(walks),
-                np.asarray(eff_len),
-                self.num_nodes,
-                config,
-                workers=self.workers,
-                verbose=verbose,
-            )
 
         if n_devices is not None and n_devices > 1:
             from pecanpy_tpu.parallel import mesh as mesh_lib
@@ -456,7 +442,7 @@ class Base(BaseGraph):
         total_tokens = self.num_nodes * num_walks * (walk_length + 1)
         if streaming is None:
             streaming = total_tokens > self.STREAMING_TOKEN_THRESHOLD
-        if streaming:
+        if streaming and not sequential:
             base_key = self._base_key()
 
             def walk_chunks(_pass):
@@ -469,8 +455,21 @@ class Base(BaseGraph):
                 timed(walk_chunks, self.num_nodes, config, verbose)
             )
 
+        # materialized-walk tail, shared by the TPU and sequential trainers
         timed_walk = Timer("generate walks", verbose)(self.simulate_walks_device)
         walks, eff_len = timed_walk(num_walks, walk_length)
+        if sequential:
+            timed_train = Timer("train embeddings (sequential)", verbose)(
+                sgns.train_sequential
+            )
+            return timed_train(
+                np.asarray(walks),
+                np.asarray(eff_len),
+                self.num_nodes,
+                config,
+                workers=self.workers,
+                verbose=verbose,
+            )
         timed_train = Timer("train embeddings", verbose)(sgns.train)
         embeddings = timed_train(
             walks, eff_len, self.num_nodes, config, verbose=verbose

@@ -40,6 +40,16 @@ struct SplitMix64 {
   double uniform() { return (next() >> 11) * (1.0 / 9007199254740992.0); }
 };
 
+// Output mix for per-thread seed derivation: seeding thread k with
+// `seed + GOLDEN * k` directly would make its stream a k-draw shift of
+// thread 0's (GOLDEN is the state increment); mixing first makes the
+// streams effectively independent.
+inline uint64_t mix64(uint64_t z) {
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
 }  // namespace
 
 extern "C" {
@@ -57,7 +67,8 @@ void pp_walk_node2vec(const int64_t* indptr, const int32_t* indices,
   const int cols = walk_length + 1;
 
   auto worker_fn = [&](int tid) {
-    SplitMix64 rng(seed + 0x9E3779B97f4A7C15ULL * (uint64_t)(tid + 1));
+    SplitMix64 rng(
+        mix64(seed + 0x9E3779B97f4A7C15ULL * (uint64_t)(tid + 1)));
     std::vector<float> w;  // biased weights of cur's row
     for (long long wk = tid; wk < n_walks; wk += workers) {
       int32_t* row = out_walks + wk * cols;

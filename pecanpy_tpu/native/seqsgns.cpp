@@ -60,6 +60,17 @@ struct SplitMix64 {
   uint64_t randint(uint64_t n) { return next() % n; }
 };
 
+// SplitMix64's output mix, used to derive per-thread seeds. Seeding a
+// thread with `seed + GOLDEN * k` directly would make its stream an
+// exact k-draw shift of thread 0's (GOLDEN is the state increment);
+// mixing the derived value first breaks that arithmetic structure so
+// the streams are effectively independent.
+inline uint64_t mix64(uint64_t z) {
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
 inline float sigmoidf(float x) { return 1.0f / (1.0f + std::exp(-x)); }
 
 struct SgnsTables {
@@ -193,10 +204,13 @@ long long pp_train_sgns_sequential_mt(
     threads.reserve(workers);
     for (int tid = 0; tid < workers; ++tid) {
       threads.emplace_back([&, tid, epoch]() {
-        // distinct stream per (thread, epoch) — mirrors the reference's
-        // per-thread seeding (pecanpy.py:176-178)
-        SplitMix64 rng(seed + 0x9E3779B97f4A7C15ULL *
-                                  (uint64_t)(1 + tid + epoch * workers));
+        // distinct, non-overlapping stream per (thread, epoch) —
+        // mirrors the reference's per-thread seeding
+        // (pecanpy.py:176-178); see mix64 for why the raw offset
+        // (a multiple of the state increment) must be mixed first
+        SplitMix64 rng(mix64(seed + 0x9E3779B97f4A7C15ULL *
+                                        (uint64_t)(1 + tid +
+                                                   epoch * workers)));
         std::vector<int32_t> sent(t_cols);
         std::vector<float> neu1e(dim);
         long long local_pairs = 0;

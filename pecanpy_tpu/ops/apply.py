@@ -78,10 +78,11 @@ if CHUNK <= 0 or CHUNK % 128:
         f"PECANPY_TPU_APPLY_CHUNK must be a positive multiple of 128 "
         f"(the ids block is lane-tiled), got {CHUNK}"
     )
-if TILE <= 0 or TILE % 8:
+if TILE <= 0 or TILE % 16:
     raise ValueError(
-        f"PECANPY_TPU_APPLY_TILE must be a positive multiple of 8 "
-        f"(sublane tiling), got {TILE}"
+        f"PECANPY_TPU_APPLY_TILE must be a positive multiple of 16 "
+        f"(sublane tiling; bfloat16 tables — the on-TPU default — need "
+        f"16-row sublanes), got {TILE}"
     )
 _LANE = 128
 _EPS = 1e-9
