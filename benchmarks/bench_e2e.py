@@ -40,6 +40,9 @@ def build_uniform_csr(n, deg=16, seed=0):
 
 
 def main():
+    from pecanpy_tpu.utils.retry import warmup_backend
+
+    warmup_backend()  # tunneled-TPU first contact can fail transiently
     from pecanpy_tpu import pecanpy
 
     powerlaw = "--powerlaw" in sys.argv

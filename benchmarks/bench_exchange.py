@@ -38,6 +38,9 @@ jax.config.update("jax_platforms", "cpu")
 
 
 def main():
+    from pecanpy_tpu.utils.retry import warmup_backend
+
+    warmup_backend()  # tunneled-TPU first contact can fail transiently
     from pecanpy_tpu.ops.layout import build_device_csr
     from pecanpy_tpu.parallel import mesh as mesh_lib
     from pecanpy_tpu.parallel.distgraph import (

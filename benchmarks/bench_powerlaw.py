@@ -58,6 +58,9 @@ def build_powerlaw_graph(n, avg_deg=16, exponent=2.2, seed=0, directed=False):
 
 
 def main():
+    from pecanpy_tpu.utils.retry import warmup_backend
+
+    warmup_backend()  # tunneled-TPU first contact can fail transiently
     import jax
     import jax.numpy as jnp
 

@@ -52,6 +52,9 @@ def embed_sequential(
 
 
 def main():
+    from pecanpy_tpu.utils.retry import warmup_backend
+
+    warmup_backend()  # tunneled-TPU first contact can fail transiently
     sys.path.insert(0, ".")
     from pecanpy_tpu import pecanpy
     from pecanpy_tpu.graph import SparseGraph

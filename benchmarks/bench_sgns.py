@@ -18,6 +18,9 @@ sys.path.insert(0, ".")  # run as: python benchmarks/bench_sgns.py
 
 
 def main():
+    from pecanpy_tpu.utils.retry import warmup_backend
+
+    warmup_backend()  # tunneled-TPU first contact can fail transiently
     import jax
     import jax.numpy as jnp
 

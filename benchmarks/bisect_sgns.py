@@ -138,6 +138,9 @@ def run_config(label, config_kwargs, disable_applies=False):
 
 
 def main():
+    from pecanpy_tpu.utils.retry import warmup_backend
+
+    warmup_backend()  # tunneled-TPU first contact can fail transiently
     import os
 
     only = os.environ.get("BISECT_ONLY", "")
