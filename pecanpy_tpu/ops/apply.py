@@ -69,20 +69,51 @@ from jax.experimental.pallas import tpu as pltpu
 # Table rows per tile (VMEM budget + one-hot dot height) and update rows
 # per chunk (one-hot dot contraction depth). The one-hot dot work per
 # kernel pass scales as ~(N + R) * CHUNK * dim — independent of TILE —
-# so CHUNK is the FLOPs lever; both stay env-tunable for sweeps
-# (CHUNK must be a multiple of 128).
-TILE = int(os.environ.get("PECANPY_TPU_APPLY_TILE", 1024))
-CHUNK = int(os.environ.get("PECANPY_TPU_APPLY_CHUNK", 1024))
-if CHUNK <= 0 or CHUNK % 128:
-    raise ValueError(
-        f"PECANPY_TPU_APPLY_CHUNK must be a positive multiple of 128 "
-        f"(the ids block is lane-tiled), got {CHUNK}"
-    )
-if TILE <= 0 or TILE % 16:
-    raise ValueError(
-        f"PECANPY_TPU_APPLY_TILE must be a positive multiple of 16 "
-        f"(sublane tiling; bfloat16 tables — the on-TPU default — need "
-        f"16-row sublanes), got {TILE}"
+# so CHUNK is the FLOPs lever; both stay env-tunable for sweeps.
+
+
+def _env_tile(name: str, default: int, multiple: int, reason: str) -> int:
+    """Parse a tiling env knob; a bad value warns and keeps the default
+    (importing the package must never crash on a stray env var)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        val = int(raw)
+    except ValueError:
+        val = -1
+    if val <= 0 or val % multiple:
+        import warnings
+
+        warnings.warn(
+            f"ignoring {name}={raw!r}: must be a positive multiple of "
+            f"{multiple} ({reason}); using the default {default}",
+            stacklevel=2,
+        )
+        return default
+    return val
+
+
+TILE = _env_tile(
+    "PECANPY_TPU_APPLY_TILE", 1024, 16,
+    "sublane tiling — bfloat16 tables, the on-TPU default, need 16-row "
+    "sublanes",
+)
+CHUNK = _env_tile(
+    "PECANPY_TPU_APPLY_CHUNK", 1024, 128,
+    "the ids block ships as (1, CHUNK/128, 128) int32 lanes",
+)
+if CHUNK % 1024:
+    # (8, 128)-tiled int32 blocks want CHUNK/128 % 8 == 0; sub-tile
+    # blocks rely on Mosaic's padding, verified on v5e only (the
+    # CHUNK=512/256 sweeps in BENCH.md ran correctly there)
+    import warnings
+
+    warnings.warn(
+        f"PECANPY_TPU_APPLY_CHUNK={CHUNK} is not a multiple of 1024: the "
+        "ids blocks are sub-(8, 128)-tile and depend on Mosaic padding "
+        "(verified on v5e; other runtimes may misalign)",
+        stacklevel=2,
     )
 _LANE = 128
 _EPS = 1e-9

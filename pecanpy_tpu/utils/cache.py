@@ -12,6 +12,16 @@ Enabled by the CLI, ``Base`` construction, and the benchmarks. Opt out
 with ``PECANPY_TPU_COMPILE_CACHE=0``; point somewhere else with
 ``PECANPY_TPU_COMPILE_CACHE_DIR``. A user-configured
 ``jax_compilation_cache_dir`` is always left untouched.
+
+Backend policy: the cache is **TPU-only**. Its motivation is the
+remote-compile cost of the tunneled TPU; on CPU the persistent cache
+stores XLA:CPU AOT results specialized to the compiling host's CPU
+features, and loading one on a different host warns of (and risks) a
+SIGILL — observed as wall-to-wall ``cpu_aot_loader`` machine-feature
+errors when a round-4 CPU dryrun read a cache written elsewhere. TPU
+executables carry no host-CPU feature dependence. Set
+``PECANPY_TPU_COMPILE_CACHE=force`` to enable on any backend (same-host
+CPU workflows only).
 """
 import os
 
@@ -20,17 +30,21 @@ _done = False
 
 def enable_compilation_cache() -> None:
     """Idempotently point JAX's persistent compilation cache at a
-    per-user directory (``~/.cache/pecanpy_tpu/xla``)."""
+    per-user directory (``~/.cache/pecanpy_tpu/xla``). TPU-only (see
+    module docstring); initializes the JAX backend to check."""
     global _done
     if _done:
         return
     _done = True
-    if os.environ.get("PECANPY_TPU_COMPILE_CACHE", "1") == "0":
+    knob = os.environ.get("PECANPY_TPU_COMPILE_CACHE", "1")
+    if knob == "0":
         return
     import jax
 
     if jax.config.jax_compilation_cache_dir:
         return  # user already configured a cache; respect it
+    if knob != "force" and jax.default_backend() != "tpu":
+        return  # CPU AOT cache entries are host-feature-specific
     path = os.environ.get("PECANPY_TPU_COMPILE_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "pecanpy_tpu", "xla"
     )
