@@ -158,6 +158,28 @@ def parse_args(argv=None):
         "CPU speed.",
     )
     parser.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="Snapshot the full SGNS training state into this directory "
+        "every --checkpoint-every chunk-steps, and resume from the "
+        "latest snapshot when one exists (bit-identical to an "
+        "uninterrupted run).",
+    )
+    parser.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=100,
+        help="Checkpoint period in training chunk-steps.",
+    )
+    parser.add_argument(
+        "--max-steps",
+        type=int,
+        default=None,
+        help="Stop training after this many chunk-steps (combine with "
+        "--checkpoint-dir to split a long run across invocations; the "
+        "lr schedule stays pinned to the full plan).",
+    )
+    parser.add_argument(
         "--devices",
         type=int,
         default=None,
@@ -326,7 +348,14 @@ def learn_embeddings(args, g, walks, eff_len):
     )
     embeddings = np.asarray(
         sgns.train(
-            walks, eff_len, g.num_nodes, config, verbose=args.verbose
+            walks,
+            eff_len,
+            g.num_nodes,
+            config,
+            verbose=args.verbose,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+            max_steps=args.max_steps,
         )
     )
     save_embeddings(args.output, g.nodes, embeddings)
@@ -334,10 +363,13 @@ def learn_embeddings(args, g, walks, eff_len):
 
 def main(argv=None):
     """End-to-end pipeline: read -> preprocess -> walk -> embed -> save."""
-    from pecanpy_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
     args = parse_args(argv)
+    if args.task not in ("tocsr", "todense"):
+        # after parse_args (so --help stays instant) and skipped for the
+        # pure host-side conversion tasks, which never compile anything
+        from pecanpy_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
     if args.profile:
         import jax
 
@@ -393,6 +425,7 @@ def _run(args):
             epochs=args.epochs,
             verbose=args.verbose,
             trainer="sequential",
+            checkpoint_dir=args.checkpoint_dir,  # embed() rejects it
         )
         save_embeddings(args.output, g.nodes, np.asarray(embeddings))
         return
@@ -408,6 +441,9 @@ def _run(args):
             table_dtype=args.table_dtype,
             n_devices=args.devices,
             model_parallel=args.model_parallel,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+            max_steps=args.max_steps,
         )
         save_embeddings(args.output, g.nodes, np.asarray(embeddings))
         return
@@ -429,6 +465,9 @@ def _run(args):
             verbose=args.verbose,
             streaming=True,
             table_dtype=args.table_dtype,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+            max_steps=args.max_steps,
         )
         save_embeddings(args.output, g.nodes, np.asarray(embeddings))
         return

@@ -349,6 +349,9 @@ class Base(BaseGraph):
         model_parallel: int = 1,
         batch_walks: Optional[int] = None,
         trainer: str = "tpu",
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 100,
+        max_steps: Optional[int] = None,
     ) -> Embeddings:
         """Walks + on-device SGNS, returning graph-aligned embeddings.
 
@@ -372,6 +375,15 @@ class Base(BaseGraph):
         over ``self.workers`` threads) — higher measured downstream
         quality (micro-F1 0.541 vs 0.510 at BlogCatalog scale) at host
         CPU speed, intended for small graphs.
+
+        ``checkpoint_dir`` snapshots the full training state (both
+        tables + the step cursor) every ``checkpoint_every`` chunk-steps
+        and resumes from the latest snapshot when one exists — the
+        resumed trajectory is bit-identical to an uninterrupted run (a
+        capability the reference lacks entirely, SURVEY §5).
+        ``max_steps`` stops after that many chunk-steps (combine with
+        checkpointing to split a long run across invocations; the lr
+        schedule stays pinned to the full plan).
         """
         from pecanpy_tpu.models import sgns
 
@@ -394,6 +406,18 @@ class Base(BaseGraph):
                 raise ValueError(
                     "trainer='sequential' runs on the host; it cannot be "
                     "combined with n_devices > 1"
+                )
+            if streaming:
+                raise ValueError(
+                    "trainer='sequential' trains on materialized host "
+                    "walks; it cannot honor streaming=True (drop one of "
+                    "the two)"
+                )
+            if checkpoint_dir is not None:
+                raise ValueError(
+                    "trainer='sequential' (the host gensim loop) has no "
+                    "checkpoint/resume support; use the default TPU "
+                    "trainer with checkpoint_dir"
                 )
             seq_tokens = self.num_nodes * num_walks * (walk_length + 1)
             if seq_tokens > 5e7:
@@ -437,6 +461,9 @@ class Base(BaseGraph):
                 epochs=epochs,
                 seed=self._seed(),
                 verbose=verbose,
+                checkpoint_dir=checkpoint_dir,
+                checkpoint_every=checkpoint_every,
+                max_steps=max_steps,
             )
 
         total_tokens = self.num_nodes * num_walks * (walk_length + 1)
@@ -452,7 +479,15 @@ class Base(BaseGraph):
                 sgns.train_streaming
             )
             return np.asarray(
-                timed(walk_chunks, self.num_nodes, config, verbose)
+                timed(
+                    walk_chunks,
+                    self.num_nodes,
+                    config,
+                    verbose,
+                    checkpoint_dir=checkpoint_dir,
+                    checkpoint_every=checkpoint_every,
+                    max_steps=max_steps,
+                )
             )
 
         # materialized-walk tail, shared by the TPU and sequential trainers
@@ -472,6 +507,13 @@ class Base(BaseGraph):
             )
         timed_train = Timer("train embeddings", verbose)(sgns.train)
         embeddings = timed_train(
-            walks, eff_len, self.num_nodes, config, verbose=verbose
+            walks,
+            eff_len,
+            self.num_nodes,
+            config,
+            verbose=verbose,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            max_steps=max_steps,
         )
         return np.asarray(embeddings)

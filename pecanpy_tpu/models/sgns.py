@@ -52,6 +52,12 @@ from pecanpy_tpu.ops.apply import (
     apply_mean_updates_two,
 )
 
+# Version tag of the single-device trainers' RNG-stream derivation (the
+# split(key) structure + the per-global-step fold_in of the span step).
+# Stamped into every checkpoint; resume refuses a mismatch — see
+# ``utils.checkpoint.verify_rng_scheme``.
+RNG_SCHEME = "single-span-foldin-v1"
+
 
 @dataclasses.dataclass(frozen=True)
 class SGNSConfig:
@@ -647,6 +653,9 @@ def train(
             ckpt = SGNSCheckpointer(checkpoint_dir)
             if ckpt.latest_step() is not None:
                 w_in_np, w_out_np, meta = ckpt.restore()
+                from pecanpy_tpu.utils.checkpoint import verify_rng_scheme
+
+                verify_rng_scheme(meta, RNG_SCHEME)
                 w_in = jnp.asarray(w_in_np).astype(table_dtype)
                 w_out = jnp.asarray(w_out_np).astype(table_dtype)
                 resume_step = int(meta["next_step"])
@@ -703,7 +712,8 @@ def train(
             _progress(verbose, t_start, done_tokens, total_tokens)
             if ckpt is not None and step_idx % checkpoint_every == 0:
                 ckpt.save(
-                    step_idx, w_in, w_out, {"next_step": step_idx}
+                    step_idx, w_in, w_out,
+                    {"next_step": step_idx, "rng_scheme": RNG_SCHEME},
                 )
 
     if ckpt is not None:
@@ -869,6 +879,9 @@ def train_streaming(
             ckpt = SGNSCheckpointer(checkpoint_dir)
             if ckpt.latest_step() is not None:
                 w_in_np, w_out_np, meta = ckpt.restore()
+                from pecanpy_tpu.utils.checkpoint import verify_rng_scheme
+
+                verify_rng_scheme(meta, RNG_SCHEME)
                 w_in = jnp.asarray(w_in_np).astype(table_dtype)
                 w_out = jnp.asarray(w_out_np).astype(table_dtype)
                 resume_step = int(meta["next_step"])
@@ -935,7 +948,8 @@ def train_streaming(
                 _progress(verbose, t_start, done_tokens, total_tokens)
                 if ckpt is not None and step_idx % checkpoint_every == 0:
                     ckpt.save(
-                        step_idx, w_in, w_out, {"next_step": step_idx}
+                        step_idx, w_in, w_out,
+                        {"next_step": step_idx, "rng_scheme": RNG_SCHEME},
                     )
         if verbose:
             print(

@@ -37,6 +37,14 @@ from pecanpy_tpu.ops import rejection
 from pecanpy_tpu.ops.layout import DeviceCSR
 from pecanpy_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
+# Version tag of the multichip trainer's RNG-stream derivation
+# (split(key, 3) init/walk/sgns streams, per-BATCH walk keys, per-step
+# sgns fold_ins). Stamped into every checkpoint; resume refuses a
+# mismatch (utils.checkpoint.verify_rng_scheme) — the round-4 stream
+# restructure would otherwise have silently resumed older checkpoints
+# onto a different corpus/schedule.
+RNG_SCHEME = "multichip-split3-batchwalk-v1"
+
 
 @dataclasses.dataclass
 class MultichipTrainer:
@@ -312,6 +320,11 @@ def train_streaming_multichip(
             ckpt = SGNSCheckpointer(checkpoint_dir)
             if ckpt.latest_step() is not None:
                 w_in_np, w_out_np, meta = ckpt.restore()
+                from pecanpy_tpu.utils.checkpoint import (
+                    verify_rng_scheme,
+                )
+
+                verify_rng_scheme(meta, RNG_SCHEME)
                 from pecanpy_tpu.models.sgns import (
                     resolve_table_dtype,
                 )
@@ -355,7 +368,10 @@ def train_streaming_multichip(
             step_idx += 1
             sgns._progress(verbose, t0, done_tokens, total_tokens)
             if ckpt is not None and step_idx % checkpoint_every == 0:
-                ckpt.save(step_idx, w_in, w_out, {"next_step": step_idx})
+                ckpt.save(
+                    step_idx, w_in, w_out,
+                    {"next_step": step_idx, "rng_scheme": RNG_SCHEME},
+                )
     if ckpt is not None:
         ckpt.close()
     return sgns._fetch_f32(w_in)

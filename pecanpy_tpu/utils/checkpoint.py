@@ -24,6 +24,29 @@ def checkpointing_available() -> bool:
     return _HAVE_ORBAX
 
 
+def verify_rng_scheme(meta: Dict[str, Any], expected: str) -> None:
+    """Refuse to resume across an RNG-stream derivation change.
+
+    Each trainer stamps its checkpoints with the version tag of its key
+    derivation (walk keys, per-step fold_ins, split structure). Resuming
+    a checkpoint written under a different scheme would silently
+    continue training on a DIFFERENT corpus/schedule than the run that
+    wrote it — the resume would "work" and produce subtly wrong
+    trajectories, so mismatch (or a pre-versioning checkpoint) is a hard
+    error rather than a warning.
+    """
+    found = meta.get("rng_scheme")
+    if found != expected:
+        raise ValueError(
+            f"checkpoint was written under RNG scheme {found!r} but this "
+            f"trainer derives its streams under {expected!r}; resuming "
+            "would train on a different corpus/schedule than the "
+            "original run. Start fresh (delete or relocate the "
+            "checkpoint directory), or rerun with the matching package "
+            "version."
+        )
+
+
 class SGNSCheckpointer:
     """Manages a directory of numbered SGNS training snapshots."""
 
@@ -42,11 +65,23 @@ class SGNSCheckpointer:
         w_out: jax.Array,
         meta: Dict[str, Any],
     ):
-        """Snapshot tables + training cursor at ``step`` (a chunk index)."""
+        """Snapshot tables + training cursor at ``step`` (a chunk index).
+
+        String meta values (e.g. the ``rng_scheme`` version tag) encode
+        as uint8 arrays — orbax's standard handler stores arrays only —
+        and decode back transparently in ``restore``.
+        """
         state = {
             "w_in": np.asarray(w_in),
             "w_out": np.asarray(w_out),
-            "meta": dict(meta),
+            "meta": {
+                k: (
+                    np.frombuffer(v.encode("utf-8"), dtype=np.uint8).copy()
+                    if isinstance(v, str)
+                    else v
+                )
+                for k, v in meta.items()
+            },
         }
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
@@ -63,7 +98,15 @@ class SGNSCheckpointer:
         if step is None:
             raise FileNotFoundError("no checkpoint found")
         state = self._mgr.restore(step)
-        return state["w_in"], state["w_out"], dict(state["meta"])
+        meta = {
+            k: (
+                np.asarray(v).tobytes().decode("utf-8")
+                if isinstance(v, np.ndarray) and v.dtype == np.uint8
+                else v
+            )
+            for k, v in dict(state["meta"]).items()
+        }
+        return state["w_in"], state["w_out"], meta
 
     def close(self):
         self._mgr.close()
