@@ -312,8 +312,8 @@ class PreComp(_SparseModeBase):
 
         @jax.jit
         def build(dg, edge_cur, flat_pos):
-            cur_rows = dg.gather_rows(edge_cur)  # [E, W]
-            edge_prev = dg.nbr.reshape(-1)[flat_pos]  # [E] prev per row
+            cur_rows = dg.gather_rows(edge_cur)  # [S, W]
+            edge_prev = dg.nbr.reshape(-1)[flat_pos]  # [S] prev per row
             prev_rows = dg.gather_rows(edge_prev)
             weights = kernel(dg, cur_rows, prev_rows, edge_prev, p, q)
             cdf = jnp.cumsum(weights, axis=-1)
@@ -323,7 +323,38 @@ class PreComp(_SparseModeBase):
             # never read (OTF fallback)
             return jnp.minimum(cdf / total, 1.0)[:, :w]
 
-        self.edge_cdf = build(dg, edge_cur, flat_pos)
+        # The build is chunked over fixed-size edge slices: the one-shot
+        # form gathers cur_rows + prev_rows as [E, W] f32 temporaries,
+        # which at the E*64 < 2^31 guard's admitted sizes (E ~ 33M) is
+        # tens of GB — past HBM long before the guard trips (the same
+        # transient-footprint class as the reference's Sigma deg^2
+        # discussion, ``pecanpy.py:442-507``). Per-edge CDF rows are
+        # independent, so slicing is bit-identical to the one-shot
+        # build; the slice size comes from a transient-bytes budget
+        # (``PECANPY_TPU_PRECOMP_BUILD_MB``, default 1024), padded to a
+        # single static shape so only one program compiles.
+        e = int(dg.indptr[-1])
+        row_w = dg.fused.shape[1]
+        # per-edge transients: cur+prev gathered rows, the bias-kernel
+        # weights + cumsum, and the output slice
+        per_edge = (2 * row_w + 2 * dg.dpad + w) * 4
+        budget_mb = int(
+            os.environ.get("PECANPY_TPU_PRECOMP_BUILD_MB", "1024")
+        )
+        slice_e = max(min(e, (budget_mb << 20) // max(per_edge, 1)), 256)
+        if e <= slice_e:
+            self.edge_cdf = build(dg, edge_cur, flat_pos)
+            return
+        parts = []
+        for lo in range(0, e, slice_e):
+            size = min(slice_e, e - lo)
+            ec = jax.lax.dynamic_slice_in_dim(edge_cur, lo, size)
+            fp = jax.lax.dynamic_slice_in_dim(flat_pos, lo, size)
+            if size < slice_e:  # pad the tail slice to the static shape
+                ec = jnp.pad(ec, (0, slice_e - size))
+                fp = jnp.pad(fp, (0, slice_e - size))
+            parts.append(build(dg, ec, fp)[:size])
+        self.edge_cdf = jnp.concatenate(parts)
 
     def _walk_aux(self):
         return (self.edge_cdf,)
