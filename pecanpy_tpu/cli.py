@@ -193,6 +193,18 @@ def parse_args(argv=None):
         help="Tensor-parallel shards for the embedding tables "
         "(must divide --devices).",
     )
+    parser.add_argument(
+        "--partition",
+        type=str,
+        default="auto",
+        choices=("auto", "replicated", "edge"),
+        help="Graph layout on the mesh: 'replicated' (full table per "
+        "chip), 'edge' (table row-sharded over the data axis with "
+        "collective row fetches — graphs bigger than one chip's HBM), "
+        "or 'auto' (edge once the tables exceed the per-chip budget, "
+        "PECANPY_TPU_REPLICATED_BUDGET_MB). Both layouts train "
+        "bit-identical embeddings for a given seed.",
+    )
     return parser.parse_args(argv)
 
 
@@ -441,6 +453,7 @@ def _run(args):
             table_dtype=args.table_dtype,
             n_devices=args.devices,
             model_parallel=args.model_parallel,
+            partition=args.partition,
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
             max_steps=args.max_steps,

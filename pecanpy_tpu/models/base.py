@@ -86,12 +86,13 @@ class Base(BaseGraph):
         self._resolved_seed: Optional[int] = None
         self.walker_batch = walker_batch
         self._device_graph: Optional[DeviceCSR] = None
+        self._host_graph: Optional[DeviceCSR] = None
         self._preprocessed: bool = False
         self._walk_fn_cache: Dict[int, object] = {}
 
     # -- device graph -------------------------------------------------------
 
-    def _build_device_graph(self) -> DeviceCSR:
+    def _build_device_graph(self, to_device: bool = True) -> DeviceCSR:
         raise NotImplementedError
 
     def get_device_graph(self) -> DeviceCSR:
@@ -99,6 +100,24 @@ class Base(BaseGraph):
         if self._device_graph is None:
             self._device_graph = self._build_device_graph()
         return self._device_graph
+
+    def get_host_graph(self) -> DeviceCSR:
+        """The fused layout with host-numpy leaves (built once, cached).
+
+        Used by the edge-partitioned pipeline, which device_puts each
+        shard's row slice directly onto its chip — the full table never
+        lands on a single device, so graphs bigger than one chip's HBM
+        stay buildable. Reuses the device copy's leaves when that was
+        already built (fetching beats building twice).
+        """
+        if self._host_graph is None:
+            if self._device_graph is not None:
+                self._host_graph = jax.tree.map(
+                    np.asarray, self._device_graph
+                )
+            else:
+                self._host_graph = self._build_device_graph(to_device=False)
+        return self._host_graph
 
     # -- mode plug points ----------------------------------------------------
 
@@ -347,6 +366,7 @@ class Base(BaseGraph):
         table_dtype: str = "auto",
         n_devices: Optional[int] = None,
         model_parallel: int = 1,
+        partition: str = "auto",
         batch_walks: Optional[int] = None,
         trainer: str = "tpu",
         checkpoint_dir: Optional[str] = None,
@@ -367,7 +387,13 @@ class Base(BaseGraph):
         ``n_devices > 1`` runs the fused multi-device pipeline
         (``parallel/train.py``): walkers data-parallel, embedding tables
         tensor-parallel over ``model_parallel`` shards, Pallas applier
-        per shard on TPU.
+        per shard on TPU. ``partition`` picks the graph layout on that
+        mesh: ``"replicated"`` (full table per chip, collective-free
+        walking), ``"edge"`` (table row-sharded over the data axis with
+        collective row fetches — graphs bigger than one chip's HBM), or
+        ``"auto"`` (default — edge once the tables exceed the per-chip
+        budget, ``PECANPY_TPU_REPLICATED_BUDGET_MB``). Both layouts
+        train bit-identical embeddings for a given seed.
 
         ``trainer`` selects the SGNS implementation: ``"tpu"`` (default)
         is the batched on-device trainer; ``"sequential"`` trains on the
@@ -399,6 +425,11 @@ class Base(BaseGraph):
         if trainer not in ("tpu", "sequential"):
             raise ValueError(
                 f"unknown trainer {trainer!r}; use 'tpu' or 'sequential'"
+            )
+        if partition not in ("auto", "replicated", "edge"):
+            raise ValueError(
+                f"unknown partition {partition!r}; use 'auto', "
+                "'replicated', or 'edge'"
             )
         sequential = trainer == "sequential"
         if sequential:
@@ -433,24 +464,38 @@ class Base(BaseGraph):
 
         if n_devices is not None and n_devices > 1:
             from pecanpy_tpu.parallel import mesh as mesh_lib
+            from pecanpy_tpu.parallel import train as train_lib
             from pecanpy_tpu.parallel.train import (
                 MultichipTrainer,
                 train_streaming_multichip,
             )
 
-            self._preprocess_transition_probs()
             mesh = mesh_lib.make_mesh(
                 n_devices, model_parallel=model_parallel
             )
+            # build the fused layout host-side: the trainer lays it out on
+            # the mesh itself (replicated, or row-sharded per chip under
+            # partition="edge" — the full table never lands on one device)
+            host_graph = self.get_host_graph()
+            partition = train_lib.resolve_partition(
+                partition,
+                train_lib.graph_table_bytes(host_graph),
+                mesh.shape[mesh_lib.DATA_AXIS],
+                mode_supported=type(self).__name__
+                in ("SparseOTF", "DenseOTF", "FirstOrderUnweighted"),
+            )
+            if verbose:
+                print(f"multichip graph partition: {partition}", flush=True)
             trainer = MultichipTrainer(
                 mesh=mesh,
-                graph=self.get_device_graph(),
+                graph=host_graph,
                 config=config,
                 walk_length=walk_length,
                 p=self.p,
                 q=self.q,
                 extend=self.extend,
                 mode=type(self).__name__,
+                partition=partition,
             )
             timed = Timer("multichip walks + training", verbose)(
                 train_streaming_multichip

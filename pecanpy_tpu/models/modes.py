@@ -59,7 +59,7 @@ class _SparseModeBase(Base, SparseGraph):
 
     _needs_cdf_channel = False
 
-    def _build_device_graph(self) -> DeviceCSR:
+    def _build_device_graph(self, to_device: bool = True) -> DeviceCSR:
         import numpy as np
 
         deg_max = (
@@ -73,6 +73,7 @@ class _SparseModeBase(Base, SparseGraph):
             with_thresholds=self.extend,
             with_cdf=_want_cdf(self, deg_max),
             degree_cap=self.degree_cap,
+            to_device=to_device,
         )
 
 
@@ -81,7 +82,7 @@ class _DenseModeBase(Base, DenseGraph):
 
     _needs_cdf_channel = False
 
-    def _build_device_graph(self) -> DeviceCSR:
+    def _build_device_graph(self, to_device: bool = True) -> DeviceCSR:
         import numpy as np
 
         nonzero_per_row = (np.asarray(self.data) != 0).sum(axis=1)
@@ -92,6 +93,7 @@ class _DenseModeBase(Base, DenseGraph):
             with_thresholds=self.extend,
             with_cdf=_want_cdf(self, deg_max),
             degree_cap=self.degree_cap,
+            to_device=to_device,
         )
 
 

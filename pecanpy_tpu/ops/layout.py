@@ -393,6 +393,7 @@ def build_device_csr(
     with_cdf: bool = False,
     degree_cap: Optional[int] = DEFAULT_DEGREE_CAP,
     symmetric: Optional[bool] = None,
+    to_device: bool = True,
 ) -> DeviceCSR:
     """Pack a host CSR triple into the fused device layout.
 
@@ -413,6 +414,11 @@ def build_device_csr(
         symmetric: declare the graph undirected-symmetric (True), directed
             (False), or unknown (None — detected via ``edges_symmetric``,
             one host lexsort pass).
+        to_device: transfer the tables to the default device (the normal
+            single-chip path). False leaves every leaf as host numpy —
+            the edge-partitioned pipeline device_puts each shard's slice
+            directly (``parallel/distgraph.shard_graph``), so a graph
+            bigger than one chip's HBM never materializes on one chip.
     """
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
@@ -500,8 +506,8 @@ def build_device_csr(
             [hkey8.view(np.float32), hval8], axis=1
         )  # [NB, 16]
         hub_kwargs.update(
-            edge_pack=jnp.asarray(_pack_super(edge_pack)),
-            hbuckets=jnp.asarray(_pack_super(buckets)),
+            edge_pack=_pack_super(edge_pack),
+            hbuckets=_pack_super(buckets),
         )
 
     channels_data = [("nbr", nbr_p), ("wgt", wgt_p)]
@@ -517,11 +523,18 @@ def build_device_csr(
         cdf_p[is_hub_node] = 1.0  # hub rows draw from the alias tables
         channels_data.append(("cdf", cdf_p))
 
+    put = jnp.asarray if to_device else np.asarray
+    if "edge_pack" in hub_kwargs:
+        hub_kwargs["edge_pack"] = put(hub_kwargs["edge_pack"])
+        hub_kwargs["hbuckets"] = put(hub_kwargs["hbuckets"])
+    elif not to_device:
+        hub_kwargs["edge_pack"] = np.empty((0, SUPER_W), dtype=np.float32)
+        hub_kwargs["hbuckets"] = np.empty((0, SUPER_W), dtype=np.float32)
     return DeviceCSR(
-        fused=jnp.asarray(pack_fused_host(channels_data)),
-        deg=jnp.asarray(deg),
-        threshold=jnp.asarray(thresholds),
-        indptr=jnp.asarray(indptr.astype(np.int32)),
+        fused=put(pack_fused_host(channels_data)),
+        deg=put(deg),
+        threshold=put(thresholds),
+        indptr=put(indptr.astype(np.int32)),
         channels=tuple(name for name, _ in channels_data),
         dpad=dpad,
         max_degree=true_max,
@@ -540,6 +553,7 @@ def device_csr_from_dense(
     with_cdf: bool = False,
     degree_cap: Optional[int] = DEFAULT_DEGREE_CAP,
     symmetric: Optional[bool] = None,
+    to_device: bool = True,
 ) -> DeviceCSR:
     """Build the fused layout from a dense adjacency matrix.
 
@@ -563,4 +577,5 @@ def device_csr_from_dense(
         with_cdf=with_cdf,
         degree_cap=degree_cap,
         symmetric=symmetric,
+        to_device=to_device,
     )

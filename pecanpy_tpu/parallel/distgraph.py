@@ -30,6 +30,12 @@ small graphs).
 
 Scope: SparseOTF / DenseOTF / FirstOrderUnweighted, with or without
 node2vec+, hub graphs included.
+
+Consumers: ``simulate_walks_distributed`` (sharded walks surface) and
+the edge-partitioned ``parallel.train.MultichipTrainer`` — reachable as
+``embed(n_devices=N, partition="edge")``, auto-selected once the graph
+tables outgrow the per-chip replication budget — which fuses these
+collective-fetch walks with the SGNS update on the same mesh.
 """
 import dataclasses
 from typing import Optional
@@ -352,10 +358,10 @@ def shard_graph(graph: DeviceCSR, mesh: Mesh):
     return out, ShardMeta(fused_rows=rows, ep_rows=ep_rows, hb_rows=hb_rows)
 
 
-def distributed_walk_fn(
-    mesh: Mesh,
+def make_local_walker(
     graph: DeviceCSR,
     meta: ShardMeta,
+    n_shards: int,
     walk_length: int,
     p: float = 1.0,
     q: float = 1.0,
@@ -364,18 +370,22 @@ def distributed_walk_fn(
     exchange: str = "auto",
     capacity: Optional[int] = None,
 ):
-    """Compiled sharded walk program: starts sharded in, walks sharded out.
+    """Per-shard walk function over an edge-partitioned graph.
 
-    The walk engine runs unchanged inside ``shard_map``; only the row
-    fetches differ (the collective exchanges above). Hub graphs route
-    through the same rejection sampler as single-device walking, with
-    its trial fetches collective and its sweep loop psum-synced.
+    Returns ``walk(fused_local, ep_local, hb_local, threshold,
+    starts_local, key) -> (walks_local, eff_local)`` — to be called
+    INSIDE ``shard_map`` over the ``data`` axis. ``graph`` supplies only
+    static metadata (channels, dpad, node count); its leaves may live on
+    host. The walk engine runs unchanged; only the row fetches are the
+    collective exchanges above, so for a given (per-shard starts, key)
+    the walks are bit-identical to a replicated-graph run — the edge
+    partition changes WHERE rows live, never which rows come back.
 
-    ``exchange``: "psum", "alltoall", or "auto" (default — picked per
-    batch/mesh shape by ``exchange_cost_model``).
+    Used by both ``distributed_walk_fn`` (walks-only surface) and the
+    edge-partitioned ``parallel.train.MultichipTrainer`` (fused
+    walk+SGNS step on the same mesh).
     """
     num_nodes = graph.num_nodes
-    n_shards = mesh.shape[DATA_AXIS]
 
     def walk(fused_local, ep_local, hb_local, threshold, starts_local, key):
         b_local = starts_local.shape[0]
@@ -433,6 +443,36 @@ def distributed_walk_fn(
         return engine.generate_walks(
             dg, first_fn, step_fn, starts_local, key, walk_length
         )
+
+    return walk
+
+
+def distributed_walk_fn(
+    mesh: Mesh,
+    graph: DeviceCSR,
+    meta: ShardMeta,
+    walk_length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    extend: bool = False,
+    mode: str = "SparseOTF",
+    exchange: str = "auto",
+    capacity: Optional[int] = None,
+):
+    """Compiled sharded walk program: starts sharded in, walks sharded out.
+
+    The walk engine runs unchanged inside ``shard_map``; only the row
+    fetches differ (the collective exchanges above). Hub graphs route
+    through the same rejection sampler as single-device walking, with
+    its trial fetches collective and its sweep loop psum-synced.
+
+    ``exchange``: "psum", "alltoall", or "auto" (default — picked per
+    batch/mesh shape by ``exchange_cost_model``).
+    """
+    walk = make_local_walker(
+        graph, meta, mesh.shape[DATA_AXIS], walk_length, p, q, extend,
+        mode, exchange=exchange, capacity=capacity,
+    )
 
     mapped = jax.shard_map(
         walk,

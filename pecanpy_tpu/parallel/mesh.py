@@ -5,8 +5,9 @@ gensim's hogwild threads (SURVEY §2 "native components"); there is no
 distributed backend to port. This module is the new TPU-native capability:
 
 * walkers are data-parallel over a ``data`` mesh axis — the walk batch is
-  sharded, the graph is replicated (edge-partitioned graphs are a later
-  stage), and no collectives are needed during walking;
+  sharded; the graph is replicated (no collectives during walking) or
+  row-sharded over the same axis (``parallel/distgraph.py`` — collective
+  row fetches, for graphs bigger than one chip's HBM);
 * SGNS embedding tables are tensor-parallel over a ``model`` mesh axis —
   ``W_in``/``W_out`` are sharded along the embedding dimension, so row
   gathers are local and the pair scores require one ``psum`` over the
@@ -78,9 +79,9 @@ def sgns_shardings(mesh: Mesh):
 def shard_device_graph(graph, mesh: Mesh):
     """Replicate the padded graph across the mesh.
 
-    (Stage-1 scaling strategy: graph replicated, walkers sharded. The
-    edge-partitioned layout with all-to-all frontier exchange is the
-    follow-up for graphs that exceed one chip's HBM.)
+    (Stage-1 scaling strategy: graph replicated, walkers sharded. For
+    graphs that exceed one chip's HBM, use the edge-partitioned layout —
+    ``parallel.distgraph.shard_graph`` / ``partition="edge"``.)
     """
     replicated = NamedSharding(mesh, P())
     return jax.device_put(graph, replicated)

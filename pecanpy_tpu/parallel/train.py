@@ -1,11 +1,13 @@
 """Multi-device fused training: sharded walks + sharded SGNS updates.
 
 One ``shard_map`` program per step: a batch of walkers (sharded over the
-``data`` mesh axis) advances ``walk_length`` steps over the replicated
-graph — hub graphs included, via the same rejection path as single-device
-walking — the walks expand into skip-gram pairs, and the tensor-parallel
-embedding tables (sharded along ``dim`` over ``model``) take one SGNS
-update. Collectives are explicit (``models/sgns.py`` ``make_step_body``):
+``data`` mesh axis) advances ``walk_length`` steps over the graph —
+replicated per chip, or row-sharded over the same axis with collective
+row fetches (``partition="edge"``, ``parallel/distgraph.py``) once the
+graph outgrows one chip's HBM; hub graphs included, via the same
+rejection path as single-device walking — the walks expand into
+skip-gram pairs, and the tensor-parallel embedding tables (sharded along
+``dim`` over ``model``) take one SGNS update. Collectives are explicit (``models/sgns.py`` ``make_step_body``):
 
 * ``psum`` over ``model`` for the two pair-score einsums (partial dots of
   dim-sharded rows);
@@ -44,11 +46,70 @@ from pecanpy_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 # restructure would otherwise have silently resumed older checkpoints
 # onto a different corpus/schedule.
 RNG_SCHEME = "multichip-split3-batchwalk-v1"
+# (the edge partition keeps the same scheme: the collective row fetch
+# changes where graph rows live, not the key tree, so the walk corpus —
+# and therefore a checkpoint's resume trajectory — is bit-identical
+# across partitions; tests/test_parallel.py pins this.)
+
+
+def graph_table_bytes(graph: DeviceCSR) -> int:
+    """Total bytes of the graph's device tables (fused + hub + aux)."""
+    return int(
+        sum(getattr(leaf, "nbytes", 0) for leaf in jax.tree.leaves(graph))
+    )
+
+
+def resolve_partition(
+    partition: str,
+    graph_bytes: int,
+    n_data_shards: int,
+    mode_supported: bool = True,
+) -> str:
+    """Resolve ``partition="auto"`` to a concrete graph layout.
+
+    Replicate while the graph's tables fit comfortably under the
+    per-chip budget (``PECANPY_TPU_REPLICATED_BUDGET_MB``, default 8192
+    — half a v5e's 16 GB HBM, leaving room for embedding tables, walk
+    buffers, and XLA scratch); row-shard ("edge") past it. Modes without
+    an edge-partitioned walker (the PreComp family — per-edge tables are
+    single-device by design) always replicate, matching the trainer's
+    own validation.
+    """
+    import os
+
+    if partition != "auto":
+        return partition
+    if n_data_shards <= 1 or not mode_supported:
+        return "replicated"
+    budget = (
+        int(os.environ.get("PECANPY_TPU_REPLICATED_BUDGET_MB", "8192"))
+        * (1 << 20)
+    )
+    return "edge" if graph_bytes > budget else "replicated"
 
 
 @dataclasses.dataclass
 class MultichipTrainer:
-    """Holds the mesh, sharded state, and the compiled fused step."""
+    """Holds the mesh, sharded state, and the compiled fused step.
+
+    ``partition`` picks the graph layout:
+
+    * ``"replicated"`` (default): every chip holds the full fused table;
+      walking needs no collectives. Right while the graph fits one
+      chip's HBM.
+    * ``"edge"``: the fused table (and hub tables) row-shard over the
+      ``data`` axis (``parallel/distgraph.py``); per-step row fetches
+      become the collective exchange (psum or request/response
+      all-to-all, cost-model ``exchange="auto"``). Removes the
+      one-chip-HBM ceiling — per-chip graph memory is 1/S of the
+      table. The walks (and therefore the trained embeddings) are
+      bit-identical to the replicated layout for the same seed: the
+      partition changes where rows live, never which rows come back.
+
+    ``graph`` may carry host-numpy leaves (``Base.get_host_graph``);
+    under ``partition="edge"`` each shard's slice is device_put directly
+    so the full table never lands on one device.
+    """
 
     mesh: Mesh
     graph: DeviceCSR
@@ -58,12 +119,47 @@ class MultichipTrainer:
     q: float = 1.0
     extend: bool = False
     mode: str = "SparseOTF"
+    partition: str = "replicated"
+    exchange: str = "auto"
 
     def __post_init__(self):
         self._table_sharding = NamedSharding(self.mesh, P(None, MODEL_AXIS))
         self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         self._repl_sharding = NamedSharding(self.mesh, P())
-        self.graph = jax.device_put(self.graph, self._repl_sharding)
+        if self.partition == "edge":
+            from pecanpy_tpu.parallel import distgraph
+
+            if self.mode not in (
+                "SparseOTF", "DenseOTF", "FirstOrderUnweighted"
+            ):
+                raise ValueError(
+                    f"partition='edge' does not support mode {self.mode!r} "
+                    "(PreComp's per-edge tables are single-device by "
+                    "design); use SparseOTF"
+                )
+            sharded, self._meta = distgraph.shard_graph(self.graph, self.mesh)
+            self._graph_args = (
+                sharded.fused, sharded.edge_pack, sharded.hbuckets,
+                sharded.threshold,
+            )
+            self._graph_specs = (
+                P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
+                P(),
+            )
+            self._local_walker = distgraph.make_local_walker(
+                self.graph, self._meta, self.mesh.shape[DATA_AXIS],
+                self.walk_length, self.p, self.q, self.extend, self.mode,
+                exchange=self.exchange,
+            )
+        elif self.partition == "replicated":
+            self.graph = jax.device_put(self.graph, self._repl_sharding)
+            self._graph_args = (self.graph,)
+            self._graph_specs = (P(),)
+        else:
+            raise ValueError(
+                f"unknown partition {self.partition!r}; "
+                "use 'replicated' or 'edge'"
+            )
         self._use_pallas = jax.default_backend() == "tpu"
         self._step = self._build_step()
         self._count = self._build_count_fn()
@@ -120,6 +216,16 @@ class MultichipTrainer:
             self.walk_length,
         )
 
+    def _local_walk(self, graph_args, starts, walk_key):
+        """Per-shard walk dispatch (INSIDE shard_map): same walk-key
+        derivation (fold the data-axis index) under both partitions, so
+        the corpora are bit-identical across layouts."""
+        if self.partition == "edge":
+            # the local walker folds the axis index itself
+            return self._local_walker(*graph_args, starts, walk_key)
+        k = jax.random.fold_in(walk_key, jax.lax.axis_index(DATA_AXIS))
+        return self._walk(graph_args[0], starts, k)
+
     def _build_step(self) -> Callable:
         body = sgns.make_step_body(
             self.graph.num_nodes,
@@ -128,17 +234,20 @@ class MultichipTrainer:
             model_axis=MODEL_AXIS,
             data_axis=DATA_AXIS,
         )
+        ng = len(self._graph_args)
 
-        def fused_step(graph, w_in, w_out, starts, keep_prob, neg_table,
-                       lr, walk_key, sgns_key):
+        def fused_step(*args):
+            graph_args = args[:ng]
+            (w_in, w_out, starts, keep_prob, neg_table,
+             lr, walk_key, sgns_key) = args[ng:]
             # walk and SGNS keys are independent so the streaming driver
             # can replay the identical walk corpus every epoch (keyed per
             # batch) while subsampling/negatives still differ per step —
             # the single-device streaming semantics (models/sgns.py)
-            idx = jax.lax.axis_index(DATA_AXIS)
-            k_walk = jax.random.fold_in(walk_key, idx)
-            k_sgns = jax.random.fold_in(sgns_key, idx)
-            walks, eff = self._walk(graph, starts, k_walk)
+            k_sgns = jax.random.fold_in(
+                sgns_key, jax.lax.axis_index(DATA_AXIS)
+            )
+            walks, eff = self._local_walk(graph_args, starts, walk_key)
             return body(
                 w_in, w_out, walks, eff, keep_prob, neg_table, lr, k_sgns
             )
@@ -146,8 +255,7 @@ class MultichipTrainer:
         mapped = jax.shard_map(
             fused_step,
             mesh=self.mesh,
-            in_specs=(
-                P(),  # graph pytree: replicated
+            in_specs=self._graph_specs + (
                 P(None, MODEL_AXIS),
                 P(None, MODEL_AXIS),
                 P(DATA_AXIS),
@@ -160,19 +268,20 @@ class MultichipTrainer:
             out_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
             check_vma=False,
         )
-        return jax.jit(mapped, donate_argnums=(1, 2))
+        return jax.jit(mapped, donate_argnums=(ng, ng + 1))
 
     def _build_count_fn(self) -> Callable:
         """Sharded walk + token-count pass (the vocab scan of the
         streaming pipeline; gensim's equivalent is its vocabulary
         build)."""
         n = self.graph.num_nodes
+        ng = len(self._graph_args)
 
-        def count(graph, starts, key):
+        def count(*args):
+            graph_args, starts, key = args[:ng], args[ng], args[ng + 1]
             # same walk-key derivation as fused_step, so counting a batch
             # under a key sees the exact walks training will consume
-            k_walk = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-            walks, eff = self._walk(graph, starts, k_walk)
+            walks, eff = self._local_walk(graph_args, starts, key)
             valid = jnp.arange(walks.shape[1]) < eff[:, None]
             c = (
                 jnp.zeros(n, dtype=jnp.float32)
@@ -184,7 +293,7 @@ class MultichipTrainer:
         mapped = jax.shard_map(
             count,
             mesh=self.mesh,
-            in_specs=(P(), P(DATA_AXIS), P()),
+            in_specs=self._graph_specs + (P(DATA_AXIS), P()),
             out_specs=P(),
             check_vma=False,
         )
@@ -220,7 +329,7 @@ class MultichipTrainer:
 
     def count_tokens(self, starts, key) -> jax.Array:
         """[N] token counts of the walks this batch of starts generates."""
-        return self._count(self.graph, self.shard_batch(starts), key)
+        return self._count(*self._graph_args, self.shard_batch(starts), key)
 
     def step(self, w_in, w_out, starts, keep_prob, neg_table, lr, key,
              walk_key=None):
@@ -236,7 +345,7 @@ class MultichipTrainer:
         if walk_key is None:
             walk_key, key = jax.random.split(key)
         return self._step(
-            self.graph, w_in, w_out, starts, keep_prob, neg_table,
+            *self._graph_args, w_in, w_out, starts, keep_prob, neg_table,
             jnp.float32(lr), walk_key, key,
         )
 
@@ -261,7 +370,14 @@ def train_streaming_multichip(
         starts: full start-node schedule (every node x num_walks,
             pre-shuffled — ``Base._start_nodes``).
         batch: walkers per fused step (global, across shards); default
-            128 walks per data shard, capped by the schedule size.
+            ``sgns.resolve_batch_walks`` — the SAME update-application
+            granularity as the single-device trainer (~max(2048, N)
+            window pairs per application), rounded up to the shard
+            multiple and capped by the schedule size. A mesh-sized
+            floor (128 walks/shard) here would collapse small corpora
+            into one giant mean-aggregated update per epoch and gut
+            quality (measured: SBM micro-F1 0.25 vs 1.0); learning
+            dynamics win over per-dispatch efficiency.
 
     Returns:
         [N, dim] float32 embeddings (gathered to host).
@@ -273,7 +389,13 @@ def train_streaming_multichip(
     n_shards = trainer.mesh.shape[DATA_AXIS]
     if batch is None:
         batch = min(
-            max(n_shards * 128, 1024), max(starts.size, n_shards)
+            max(
+                sgns.resolve_batch_walks(
+                    config, n, trainer.walk_length + 1
+                ),
+                n_shards,
+            ),
+            max(starts.size, n_shards),
         )
     batch += (-batch) % n_shards
     key = jax.random.PRNGKey(seed)

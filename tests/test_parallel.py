@@ -187,3 +187,159 @@ def test_multichip_streaming_checkpoint_resume(eight_devices, rng, tmp_path):
         checkpoint_dir=ckpt_dir, checkpoint_every=1,
     )
     np.testing.assert_allclose(full, resumed, atol=1e-6)
+
+
+# -- edge-partitioned training (graph row-sharded over the data axis) -----
+
+
+def test_resolve_partition(monkeypatch):
+    from pecanpy_tpu.parallel.train import resolve_partition
+
+    monkeypatch.setenv("PECANPY_TPU_REPLICATED_BUDGET_MB", "1")
+    assert resolve_partition("auto", 2 * 2**20, 8) == "edge"
+    # a single data shard cannot partition
+    assert resolve_partition("auto", 2 * 2**20, 1) == "replicated"
+    # unsupported modes (PreComp family) always replicate
+    assert (
+        resolve_partition("auto", 2 * 2**20, 8, mode_supported=False)
+        == "replicated"
+    )
+    # explicit choices pass through untouched
+    assert resolve_partition("replicated", 10**15, 8) == "replicated"
+    assert resolve_partition("edge", 0, 8) == "edge"
+    monkeypatch.setenv("PECANPY_TPU_REPLICATED_BUDGET_MB", "4096")
+    assert resolve_partition("auto", 2 * 2**20, 8) == "replicated"
+
+
+def _one_step(trainer, n, key):
+    w_in, w_out = trainer.init_params(key)
+    starts = trainer.shard_batch(np.arange(n, dtype=np.int32).repeat(2))
+    w_in, w_out = trainer.step(
+        w_in, w_out, starts, jnp.ones(n), jnp.arange(n, dtype=jnp.int32),
+        0.025, key,
+    )
+    return np.asarray(w_in), np.asarray(w_out)
+
+
+def test_edge_partition_step_bitwise_matches_replicated(eight_devices, rng):
+    """The edge partition changes WHERE graph rows live, never which rows
+    come back: one fused walk+SGNS step is bit-identical across layouts."""
+    adj = oracle.random_graph(rng, 32, mean_degree=4.0, weighted=True)
+    graph = device_csr_from_dense(adj)
+    m = mesh_lib.make_mesh(8, model_parallel=2)
+    config = SGNSConfig(dim=16, window=3, negative=2, seed=0)
+    kwargs = dict(
+        mesh=m, graph=graph, config=config, walk_length=8, p=0.5, q=2.0
+    )
+    key = jax.random.PRNGKey(0)
+    rep = _one_step(MultichipTrainer(**kwargs), 32, key)
+    edge = _one_step(
+        MultichipTrainer(**kwargs, partition="edge"), 32, key
+    )
+    np.testing.assert_array_equal(rep[0], edge[0])
+    np.testing.assert_array_equal(rep[1], edge[1])
+
+
+def test_edge_partition_hub_step_matches_replicated(eight_devices, rng):
+    """Hub graphs: the rejection sampler's trial fetches go collective
+    (psum-synced sweep loop) and still reproduce the replicated walks."""
+    adj = oracle.random_graph(rng, 24, mean_degree=8.0, weighted=True)
+    graph = device_csr_from_dense(adj, degree_cap=4)
+    assert graph.has_hubs
+    m = mesh_lib.make_mesh(8, model_parallel=2)
+    config = SGNSConfig(dim=16, window=3, negative=2, seed=0)
+    kwargs = dict(
+        mesh=m, graph=graph, config=config, walk_length=6, p=0.5, q=2.0
+    )
+    key = jax.random.PRNGKey(3)
+    rep = _one_step(MultichipTrainer(**kwargs), 24, key)
+    edge = _one_step(
+        MultichipTrainer(**kwargs, partition="edge"), 24, key
+    )
+    np.testing.assert_array_equal(rep[0], edge[0])
+    np.testing.assert_array_equal(rep[1], edge[1])
+
+
+def test_edge_partition_count_tokens_matches(eight_devices, rng):
+    adj = oracle.random_graph(rng, 16, mean_degree=4.0)
+    graph = device_csr_from_dense(adj)
+    m = mesh_lib.make_mesh(8)
+    config = SGNSConfig(dim=8, window=2, negative=2, seed=0)
+    kwargs = dict(mesh=m, graph=graph, config=config, walk_length=5)
+    starts = np.tile(np.arange(16, dtype=np.int32), 4)
+    key = jax.random.PRNGKey(0)
+    c_rep = np.asarray(
+        MultichipTrainer(**kwargs).count_tokens(starts, key)
+    )
+    c_edge = np.asarray(
+        MultichipTrainer(**kwargs, partition="edge").count_tokens(
+            starts, key
+        )
+    )
+    np.testing.assert_array_equal(c_rep, c_edge)
+
+
+def test_edge_partition_rejects_precomp(eight_devices, rng):
+    adj = oracle.random_graph(rng, 16, mean_degree=4.0)
+    graph = device_csr_from_dense(adj)
+    m = mesh_lib.make_mesh(8)
+    with pytest.raises(ValueError, match="edge"):
+        MultichipTrainer(
+            mesh=m, graph=graph, config=SGNSConfig(dim=8, seed=0),
+            walk_length=5, mode="PreComp", partition="edge",
+        )
+
+
+def test_embed_edge_partition_matches_replicated(eight_devices, rng):
+    from pecanpy_tpu import pecanpy
+
+    adj = oracle.random_graph(rng, 20, mean_degree=5.0, weighted=True)
+    ids = [str(i) for i in range(20)]
+
+    def run(partition):
+        g = pecanpy.SparseOTF.from_mat(adj, ids, p=0.5, q=2.0, random_state=7)
+        return g.embed(
+            dim=16, num_walks=4, walk_length=8, window_size=3,
+            n_devices=8, model_parallel=2, partition=partition,
+        )
+
+    rep, edge = run("replicated"), run("edge")
+    assert np.isfinite(edge).all() and edge.std() > 0.0
+    np.testing.assert_array_equal(rep, edge)
+
+
+def test_embed_auto_partition_oversized_graph(
+    eight_devices, rng, monkeypatch, capsys
+):
+    """End-to-end: a graph whose tables exceed the (forced tiny)
+    replication budget auto-selects the edge partition and still trains
+    community-recovering embeddings."""
+    from pecanpy_tpu import pecanpy
+    from test_downstream import micro_f1_nearest_centroid, sbm_graph
+
+    monkeypatch.setenv("PECANPY_TPU_REPLICATED_BUDGET_MB", "0")
+    adj, labels = sbm_graph(rng, blocks=4, per_block=30)
+    ids = [str(i) for i in range(adj.shape[0])]
+    g = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    emb = g.embed(
+        dim=32, num_walks=6, walk_length=20, window_size=5, epochs=3,
+        n_devices=8, verbose=True,
+    )
+    assert "partition: edge" in capsys.readouterr().out
+    f1 = micro_f1_nearest_centroid(emb, labels, rng)
+    assert f1 >= 0.8, f"micro-F1 {f1:.3f} below 0.8"
+
+
+def test_multichip_cli_partition_edge(eight_devices, tmp_path, karate_edg):
+    from pecanpy_tpu import cli
+
+    out = tmp_path / "k_edge.emb.npz"
+    cli.main([
+        "--input", karate_edg, "--output", str(out),
+        "--dimensions", "8", "--walk-length", "5", "--num-walks", "2",
+        "--window-size", "3", "--random_state", "0",
+        "--devices", "8", "--partition", "edge",
+    ])
+    z = np.load(out)
+    assert z["data"].shape == (34, 8)
+    assert np.isfinite(z["data"]).all()
