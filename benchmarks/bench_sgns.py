@@ -61,7 +61,7 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def init():
-        dt = sgns.resolve_table_dtype(config)
+        dt = sgns.resolve_table_dtype(config, n)
         w_in = jax.random.uniform(
             key, (n, config.dim), minval=-0.004, maxval=0.004
         ).astype(dt)

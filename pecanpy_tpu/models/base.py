@@ -431,6 +431,24 @@ class Base(BaseGraph):
                 f"unknown partition {partition!r}; use 'auto', "
                 "'replicated', or 'edge'"
             )
+        total_tokens = self.num_nodes * num_walks * (walk_length + 1)
+        if trainer == "tpu" and epochs == 1 and total_tokens <= 5e7:
+            # measured exchange rate (BENCH.md "Downstream quality"): at
+            # small corpus scale the batched trainer's per-epoch quality
+            # trails the sequential reference (micro-F1 0.510 vs 0.541 at
+            # BlogCatalog scale) and epochs=2 closes the gap (0.542) for
+            # ~2-5 s of device compute. Advisory only — same spirit as
+            # the CLI's check_mode recommendations.
+            import warnings
+
+            warnings.warn(
+                f"epochs=1 on a small corpus (~{total_tokens:.1e} tokens) "
+                "leaves measured quality on the table: epochs=2 matches "
+                "the sequential reference (micro-F1 0.542 vs 0.541 at "
+                "BlogCatalog scale) for seconds of extra device compute "
+                "- see BENCH.md 'Downstream quality'",
+                stacklevel=2,
+            )
         sequential = trainer == "sequential"
         if sequential:
             if n_devices is not None and n_devices > 1:
@@ -511,7 +529,6 @@ class Base(BaseGraph):
                 max_steps=max_steps,
             )
 
-        total_tokens = self.num_nodes * num_walks * (walk_length + 1)
         if streaming is None:
             streaming = total_tokens > self.STREAMING_TOKEN_THRESHOLD
         if streaming and not sequential:

@@ -97,28 +97,50 @@ class SGNSConfig:
     # 5.28M tokens/s on v5e at micro-F1 parity, 0.506 vs 0.510 on the
     # BlogCatalog-scale benchmark) and relies on the Pallas
     # stochastic-rounding applier. "auto" resolves to bfloat16 on TPU
-    # and float32 elsewhere: the non-TPU fallback rounds to nearest,
-    # which at SGD-sized steps silently drops most updates.
+    # for large tables and float32 otherwise (small tables — see
+    # AUTO_F32_TABLE_ELEMS — get bf16's quality cost with none of its
+    # wins; the non-TPU fallback applier rounds to nearest, which at
+    # SGD-sized steps silently drops most updates).
     table_dtype: str = "auto"
     # unused (pre-walk-structured trainer); kept for call compatibility
     batch_pairs: Optional[int] = None
     seed: Optional[int] = None
 
 
-def resolve_table_dtype(config: SGNSConfig) -> jnp.dtype:
+# "auto" tables below this many elements resolve to float32 even on TPU:
+# at this size memory and the two table-streaming passes are irrelevant
+# to wall clock, while the measured bf16 quality delta is not (micro-F1
+# 0.506 bf16 vs 0.510 f32 at BlogCatalog scale — BENCH.md "Downstream
+# quality"). 16M elements = 64 MB f32 (N = 128k at dim = 128); the
+# 1M-node headline workloads stay bfloat16.
+AUTO_F32_TABLE_ELEMS = 16 * 1024 * 1024
+
+
+def resolve_table_dtype(
+    config: SGNSConfig, num_nodes: Optional[int] = None
+) -> jnp.dtype:
     """Concrete table dtype for this backend.
 
     ``"auto"`` picks bfloat16 on TPU (where the Pallas applier writes
     back with stochastic rounding, keeping SGD unbiased) and float32
-    everywhere else. Explicitly requesting bfloat16 off-TPU warns: the
-    fallback applier rounds to nearest, and at lr ~1e-3 the per-step row
-    movement is below the bf16 ulp of typical weights, so most updates
-    silently vanish.
+    everywhere else — except small tables (``num_nodes * dim <=
+    AUTO_F32_TABLE_ELEMS``), which resolve to float32 on every backend:
+    bf16's memory/bandwidth win is immaterial there while its measured
+    quality cost is not. Explicitly requesting bfloat16 off-TPU warns:
+    the fallback applier rounds to nearest, and at lr ~1e-3 the per-step
+    row movement is below the bf16 ulp of typical weights, so most
+    updates silently vanish.
     """
     name = config.table_dtype
     if name in (None, "auto"):
+        small = (
+            num_nodes is not None
+            and num_nodes * config.dim <= AUTO_F32_TABLE_ELEMS
+        )
         name = (
-            "bfloat16" if jax.default_backend() == "tpu" else "float32"
+            "bfloat16"
+            if jax.default_backend() == "tpu" and not small
+            else "float32"
         )
     elif name == "bfloat16" and jax.default_backend() != "tpu":
         import warnings
@@ -634,7 +656,7 @@ def train(
         build_negative_table(np.asarray(counts), seed=seed)
     )
 
-    table_dtype = resolve_table_dtype(config)
+    table_dtype = resolve_table_dtype(config, num_nodes)
     bound = 0.5 / config.dim
     w_in = jax.random.uniform(
         k_init, (num_nodes, config.dim), minval=-bound, maxval=bound
@@ -860,7 +882,7 @@ def train_streaming(
             np.cumsum(sizes)[:-1],
         )
 
-    table_dtype = resolve_table_dtype(config)
+    table_dtype = resolve_table_dtype(config, num_nodes)
     bound = 0.5 / config.dim
     w_in = jax.random.uniform(
         k_init, (num_nodes, config.dim), minval=-bound, maxval=bound

@@ -307,7 +307,7 @@ class MultichipTrainer:
         bound = 0.5 / d
         from pecanpy_tpu.models.sgns import resolve_table_dtype
 
-        dtype = resolve_table_dtype(self.config)
+        dtype = resolve_table_dtype(self.config, n)
         w_in = jax.random.uniform(
             key, (n, d), minval=-bound, maxval=bound
         ).astype(dtype)
@@ -451,7 +451,7 @@ def train_streaming_multichip(
                     resolve_table_dtype,
                 )
 
-                dtype = resolve_table_dtype(config)
+                dtype = resolve_table_dtype(config, n)
                 w_in = jax.device_put(
                     jnp.asarray(w_in_np).astype(dtype),
                     trainer._table_sharding,

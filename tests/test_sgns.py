@@ -332,3 +332,47 @@ def test_streaming_walk_cache_equivalence():
         for cb in (0, None)
     ]
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_auto_table_dtype_size_aware(monkeypatch):
+    """table_dtype='auto' resolves to f32 for small tables even on TPU
+    (bf16's memory/bandwidth wins are immaterial there; its measured
+    quality cost is not) and bf16 past the threshold."""
+    import jax.numpy as jnp
+
+    from pecanpy_tpu.models import sgns as sgns_mod
+
+    monkeypatch.setattr(sgns_mod.jax, "default_backend", lambda: "tpu")
+    cfg = sgns_mod.SGNSConfig(dim=128, table_dtype="auto")
+    small_n = sgns_mod.AUTO_F32_TABLE_ELEMS // 128
+    assert sgns_mod.resolve_table_dtype(cfg, small_n) == jnp.float32
+    assert sgns_mod.resolve_table_dtype(cfg, small_n + 1) == jnp.bfloat16
+    # unknown table size keeps the backend default
+    assert sgns_mod.resolve_table_dtype(cfg) == jnp.bfloat16
+    # explicit choices pass through regardless of size
+    assert (
+        sgns_mod.resolve_table_dtype(
+            sgns_mod.SGNSConfig(table_dtype="float32"), 10**9
+        )
+        == jnp.float32
+    )
+
+
+def test_embed_small_corpus_epochs_advisory(rng):
+    """embed() surfaces the measured epochs/quality exchange rate when a
+    small corpus runs at the default epochs=1."""
+    import warnings
+
+    import oracle
+    from pecanpy_tpu import pecanpy
+
+    adj = oracle.random_graph(rng, 12, mean_degree=3.0)
+    ids = [str(i) for i in range(12)]
+    g = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    with pytest.warns(UserWarning, match="epochs=2 matches"):
+        g.embed(dim=8, num_walks=2, walk_length=5, window_size=2, epochs=1)
+    # no advisory once the user opts into epochs >= 2
+    g2 = pecanpy.SparseOTF.from_mat(adj, ids, random_state=0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        g2.embed(dim=8, num_walks=2, walk_length=5, window_size=2, epochs=2)
