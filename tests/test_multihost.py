@@ -64,6 +64,15 @@ print(f"proc {pid}: PASS", flush=True)
 """
 
 
+@pytest.mark.skipif(
+    sys.platform == "win32",
+    reason="jax.distributed's gRPC coordination service is exercised on "
+    "POSIX only here: the worker relies on fork-free spawn semantics that "
+    "ARE portable, but the jax windows wheels ship without distributed "
+    "support guarantees and no windows host is available to validate the "
+    "2-process cluster bring-up; the single-process collective coverage "
+    "(tests/test_distgraph.py, 8 virtual devices) runs on every platform",
+)
 def test_two_process_collective_walks(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
