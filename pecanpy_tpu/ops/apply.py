@@ -118,6 +118,24 @@ if CHUNK % 1024:
 _LANE = 128
 _EPS = 1e-9
 
+# --- v2 applier (opt-in): one grid step per table tile, the sorted
+# stream DMA'd in tile-aligned K-row windows with explicit double
+# buffering. Motivation (see BENCH.md round-5 applier analysis): the
+# visit-list kernel's one-hot work totals N*CHUNK + R*TILE element
+# compares + MXU dots per pass — the N*CHUNK term scales with the TABLE
+# — and every (tile, chunk) visit re-fetches a full CHUNK*D payload
+# block. Windowing at the tile's own bounds cuts the tile-side term to
+# N*K (K = window rows << CHUNK) and the payload traffic to ~R*D, while
+# the per-tile inner fori_loop removes per-visit grid machinery. The
+# sorted stream makes this exact: a window may carry neighboring tiles'
+# rows, but their local ids fall outside [0, TILE) and the one-hot
+# masks them — every row folds into exactly its own tile.
+APPLY_V2 = os.environ.get("PECANPY_TPU_APPLY_V2", "0") == "1"
+K_WINDOW = _env_tile(
+    "PECANPY_TPU_APPLY_WINDOW", 512, 128,
+    "v2 stream windows DMA as [K, dim] blocks; K rows must lane-align",
+)
+
 # Run the one-hot scatter dots in bf16 (see module docstring).
 DOT_BF16 = True
 
@@ -278,6 +296,135 @@ def _apply_pallas(table, ids_s, upd_s, bounds, seed):
     )(tiles, chunks, flags, seed, table, ids_s, upd_s)
 
 
+def _applier_kernel_v2(
+    w0_ref,  # [n_tiles] scalar-prefetch: first stream window per tile
+    nw_ref,  # [n_tiles] scalar-prefetch: window count per tile
+    seed_ref,  # [1] int32 scalar-prefetch: stochastic-rounding seed
+    tile_ref,  # [TILE, D] VMEM: this tile (Mosaic-pipelined)
+    ids_ref,  # [R/K, 1, K] HBM: sorted dest rows, window-blocked
+    upd_ref,  # [R, D] HBM: PRE-SCALED payload rows
+    out_ref,  # [TILE, D] VMEM (aliases the table buffer)
+    acc,  # [TILE, D] f32 VMEM scratch
+    ids_buf,  # [2, 1, K] int32 VMEM scratch (double-buffered windows)
+    upd_buf,  # [2, K, D] VMEM scratch
+    sems,  # [2, 2] DMA semaphores (slot x {ids, upd})
+):
+    g = pl.program_id(0)
+    t = g  # block index == tile index (identity specs)
+    base = w0_ref[g]
+    nwin = nw_ref[g]
+    k = ids_buf.shape[2]
+    dot_t = jnp.bfloat16 if DOT_BF16 else jnp.float32
+
+    def dma(slot, j):
+        w = base + j
+        return (
+            pltpu.make_async_copy(
+                ids_ref.at[w], ids_buf.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                upd_ref.at[pl.ds(w * k, k), :],
+                upd_buf.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    @pl.when(nwin > 0)
+    def _():
+        for d in dma(0, 0):
+            d.start()
+
+    acc[:] = jnp.zeros_like(acc)
+    rows_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_ref.shape[0], k), 0
+    )
+
+    def body(j, carry):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < nwin)
+        def _():
+            for d in dma(jax.lax.rem(j + 1, 2), j + 1):
+                d.start()
+
+        for d in dma(slot, j):
+            d.wait()
+        # rows of neighboring tiles ride the shared boundary windows;
+        # their local ids fall outside [0, TILE) and the one-hot masks
+        # them, so every stream row folds into exactly its own tile
+        local = ids_buf[slot] - t * tile_ref.shape[0]  # [1, K]
+        onehot = (rows_iota == local).astype(dot_t)
+        acc[:] = acc[:] + jax.lax.dot(
+            onehot, upd_buf[slot].astype(dot_t),
+            preferred_element_type=jnp.float32,
+        )
+        return carry
+
+    jax.lax.fori_loop(0, nwin, body, 0)
+
+    new = tile_ref[:].astype(jnp.float32) - acc[:]
+    if out_ref.dtype == jnp.bfloat16:
+        pltpu.prng_seed(seed_ref[0] + t)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(new.shape), jnp.uint32)
+        out_ref[:] = pltpu.stochastic_round(
+            new, bits, target_dtype=jnp.bfloat16
+        )
+    else:
+        out_ref[:] = new
+
+
+def _apply_pallas_v2(table, ids_s, upd_s, bounds, seed, interpret=False):
+    """Per-tile windowed applier over a PRE-SORTED, PRE-SCALED stream.
+
+    One grid step per table tile (untouched tiles copy through — with
+    SGNS-sized streams essentially every tile is touched); each step
+    pulls its K-row stream windows from HBM with explicit
+    double-buffered DMA and folds them in with masked one-hot dots.
+    """
+    n, d = table.shape
+    k = K_WINDOW
+    n_tiles = n // TILE
+    lo = bounds[:-1]
+    w0 = lo // k
+    nw = jnp.maximum(-(-(bounds[1:] - w0 * k) // k), 0).astype(jnp.int32)
+    nw = jnp.where(bounds[1:] > lo, nw, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (TILE, d),
+                lambda g, w, nwn, sd: (g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # ids windows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # payload rows (HBM)
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE, d),
+            lambda g, w, nwn, sd: (g, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE, d), jnp.float32),
+            pltpu.VMEM((2, 1, k), jnp.int32),
+            pltpu.VMEM((2, k, d), upd_s.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        _applier_kernel_v2,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, d), table.dtype),
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(
+        w0.astype(jnp.int32), nw, seed, table,
+        ids_s.reshape(-1, 1, k), upd_s,
+    )
+
+
 def _sorted_scales(keys_s, cnt_s, lr, cap):
     """Entry-wise ``lr * min(total, cap) / total`` over a sorted stream.
 
@@ -306,7 +453,7 @@ def _sorted_scales(keys_s, cnt_s, lr, cap):
     return lr * jnp.minimum(tot, cap) / jnp.maximum(tot, _EPS)
 
 
-def _finalize_and_run(table, ids_s, upd_s, rng_seed):
+def _finalize_and_run(table, ids_s, upd_s, rng_seed, interpret=False):
     """Pad a sorted, pre-scaled stream + the table; run the kernel."""
     n, d = table.shape
     if n % TILE:
@@ -317,7 +464,8 @@ def _finalize_and_run(table, ids_s, upd_s, rng_seed):
         upd_s = jnp.pad(upd_s, ((0, 0), (0, pad_d)))
     n_pad = table.shape[0]
     r = ids_s.shape[0]
-    r_pad = -(-r // CHUNK) * CHUNK
+    unit = K_WINDOW if APPLY_V2 else CHUNK
+    r_pad = -(-r // unit) * unit
     # sentinel n_pad: local = n_pad - t*TILE >= TILE for every tile, so
     # padding rows never match a one-hot row
     ids_s = jnp.pad(ids_s, (0, r_pad - r), constant_values=n_pad)
@@ -326,19 +474,26 @@ def _finalize_and_run(table, ids_s, upd_s, rng_seed):
     bounds = jnp.searchsorted(ids_s, edges).astype(jnp.int32)
     if rng_seed is None:
         rng_seed = jnp.int32(0)
-    out = _apply_pallas(
-        table,
-        # ids ship as [R/CHUNK, CHUNK/128, 128] (row-major = stream
-        # order): one (1, CHUNK/128, 128) block per visit, lane-tiled
-        ids_s.reshape(-1, CHUNK // _LANE, _LANE),
-        upd_s,
-        bounds,
-        rng_seed.reshape(1).astype(jnp.int32),
-    )
+    seed = rng_seed.reshape(1).astype(jnp.int32)
+    if APPLY_V2:
+        out = _apply_pallas_v2(
+            table, ids_s, upd_s, bounds, seed, interpret=interpret
+        )
+    else:
+        out = _apply_pallas(
+            table,
+            # ids ship as [R/CHUNK, CHUNK/128, 128] (row-major = stream
+            # order): one (1, CHUNK/128, 128) block per visit, lane-tiled
+            ids_s.reshape(-1, CHUNK // _LANE, _LANE),
+            upd_s,
+            bounds,
+            seed,
+        )
     return out[:n, :d]
 
 
-def _pallas_apply_one(table, ids, upd, cnt, lr, cap, rng_seed):
+def _pallas_apply_one(table, ids, upd, cnt, lr, cap, rng_seed,
+                      interpret=False):
     """Sort + pre-scale one stream, run the visit-list kernel."""
     if ids.shape[0] == 0:  # empty stream: nothing to apply
         return table
@@ -351,7 +506,7 @@ def _pallas_apply_one(table, ids, upd, cnt, lr, cap, rng_seed):
         # the kernel's dot casts the payload to bf16 anyway — shipping it
         # bf16 halves the stream traffic and the per-visit payload DMA
         upd_s = upd_s.astype(jnp.bfloat16)
-    return _finalize_and_run(table, ids_s, upd_s, rng_seed)
+    return _finalize_and_run(table, ids_s, upd_s, rng_seed, interpret)
 
 
 @functools.partial(
@@ -389,6 +544,15 @@ def apply_mean_updates_two(
     if not use_pallas:
         out = _apply_scatter(table, ids_a, upd_a, cnt_a, lr, cap_a)
         return _apply_scatter(out, ids_b, upd_b, cnt_b, lr, cap_b)
+    return _pallas_apply_two(
+        table, ids_a, upd_a, cnt_a, ids_b, upd_b, cnt_b, lr,
+        cap_a, cap_b, rng_seed,
+    )
+
+
+def _pallas_apply_two(table, ids_a, upd_a, cnt_a, ids_b, upd_b, cnt_b,
+                      lr, cap_a, cap_b, rng_seed, interpret=False):
+    """Merge-sort + pre-scale the two streams, run ONE kernel pass."""
     r_a, r_b = ids_a.shape[0], ids_b.shape[0]
     if r_a + r_b == 0:
         return table
@@ -408,7 +572,7 @@ def apply_mean_updates_two(
     if DOT_BF16:
         upd_s = upd_s.astype(jnp.bfloat16)
     return _finalize_and_run(
-        table, (keys_s >> 1).astype(jnp.int32), upd_s, rng_seed
+        table, (keys_s >> 1).astype(jnp.int32), upd_s, rng_seed, interpret
     )
 
 

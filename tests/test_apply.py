@@ -95,3 +95,78 @@ def test_zero_count_padding_is_noop(rng):
         apply_mean_updates(jnp.asarray(table), ids, upd, cnt, jnp.float32(0.1))
     )
     np.testing.assert_array_equal(got, table)
+
+
+def _force_v2(monkeypatch):
+    from pecanpy_tpu.ops import apply as apply_lib
+
+    monkeypatch.setattr(apply_lib, "APPLY_V2", True)
+    monkeypatch.setattr(apply_lib, "DOT_BF16", False)  # f32-exact compare
+    return apply_lib
+
+
+def test_v2_kernel_matches_scatter_interpret(rng, monkeypatch):
+    """The windowed per-tile (v2) applier equals the scatter reference,
+    run through the Pallas interpreter on CPU (TILE-spanning stream,
+    empty tiles, repeated hot ids, window-boundary sharing)."""
+    apply_lib = _force_v2(monkeypatch)
+    n = apply_lib.TILE * 3  # 3 tiles; leave tile 1 untouched
+    d = apply_lib._LANE
+    r = 4 * apply_lib.K_WINDOW + 37  # non-multiple: exercises padding
+    table = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.concatenate([
+        rng.integers(0, apply_lib.TILE, r - 40),           # tile 0
+        np.full(20, 2 * apply_lib.TILE + 5),               # hot row, tile 2
+        rng.integers(2 * apply_lib.TILE, n, 20),           # tile 2
+    ]).astype(np.int32)
+    upd = rng.normal(size=(r, d)).astype(np.float32)
+    cnt = rng.integers(0, 3, r).astype(np.float32)
+    got = np.asarray(
+        apply_lib._pallas_apply_one(
+            jnp.asarray(table), jnp.asarray(ids), jnp.asarray(upd),
+            jnp.asarray(cnt), jnp.float32(0.05), 4.0, jnp.int32(3),
+            interpret=True,
+        )
+    )
+    expected = np.asarray(
+        apply_lib._apply_scatter(
+            jnp.asarray(table), jnp.asarray(ids), jnp.asarray(upd),
+            jnp.asarray(cnt), jnp.float32(0.05), 4.0,
+        )
+    )
+    # untouched tile copies through bit-exactly
+    t1 = slice(apply_lib.TILE, 2 * apply_lib.TILE)
+    np.testing.assert_array_equal(got[t1], table[t1])
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=1e-6)
+
+
+def test_v2_two_streams_matches_scatter_interpret(rng, monkeypatch):
+    apply_lib = _force_v2(monkeypatch)
+    n = apply_lib.TILE * 2
+    d = apply_lib._LANE
+    r_a, r_b = apply_lib.K_WINDOW + 11, 301
+    table = rng.normal(size=(n, d)).astype(np.float32)
+    ids_a = rng.integers(0, n, r_a).astype(np.int32)
+    upd_a = rng.normal(size=(r_a, d)).astype(np.float32)
+    cnt_a = rng.integers(1, 3, r_a).astype(np.float32)
+    ids_b = rng.integers(0, n, r_b).astype(np.int32)
+    upd_b = rng.normal(size=(r_b, d)).astype(np.float32)
+    cnt_b = rng.integers(1, 3, r_b).astype(np.float32)
+    lr = jnp.float32(0.05)
+    got = np.asarray(
+        apply_lib._pallas_apply_two(
+            jnp.asarray(table), jnp.asarray(ids_a), jnp.asarray(upd_a),
+            jnp.asarray(cnt_a), jnp.asarray(ids_b), jnp.asarray(upd_b),
+            jnp.asarray(cnt_b), lr, 4.0, 1.0, jnp.int32(0),
+            interpret=True,
+        )
+    )
+    step1 = apply_lib._apply_scatter(
+        jnp.asarray(table), jnp.asarray(ids_a), jnp.asarray(upd_a),
+        jnp.asarray(cnt_a), lr, 4.0,
+    )
+    expected = np.asarray(apply_lib._apply_scatter(
+        step1, jnp.asarray(ids_b), jnp.asarray(upd_b),
+        jnp.asarray(cnt_b), lr, 1.0,
+    ))
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=1e-6)
