@@ -121,6 +121,8 @@ def measure_one(trace_dir=None):
     return {
         "tile": apply_lib.TILE,
         "chunk": apply_lib.CHUNK,
+        "v2": apply_lib.APPLY_V2,
+        "window": apply_lib.K_WINDOW,
         "block_ms": per_block * 1e3,
         "table_stream_ms": best * 1e3,
         "dtype": TABLE_DTYPE,
@@ -170,48 +172,66 @@ def main():
         print(f"trace written under {d}", flush=True)
         return
 
+    # (tile, chunk, v2, window): v1 grid calibrates the cost model; the
+    # v2 rows measure the windowed per-tile variant head-to-head
     grid = [
-        (1024, 1024),  # default
-        (1024, 512),
-        (1024, 256),
-        (2048, 1024),
-        (2048, 256),
-        (512, 1024),
-        (512, 512),
-        (4096, 256),
-        (1024, 2048),
+        (1024, 1024, 0, 512),  # default
+        (1024, 512, 0, 512),
+        (1024, 256, 0, 512),
+        (2048, 1024, 0, 512),
+        (2048, 256, 0, 512),
+        (512, 1024, 0, 512),
+        (512, 512, 0, 512),
+        (4096, 256, 0, 512),
+        (1024, 2048, 0, 512),
+        (1024, 1024, 1, 1024),
+        (1024, 1024, 1, 512),
+        (1024, 1024, 1, 256),
+        (2048, 1024, 1, 512),
+        (512, 1024, 1, 512),
     ]
     rows = []
-    for tile, chunk in grid:
+    for tile, chunk, v2, window in grid:
         env = dict(os.environ)
         env["PECANPY_TPU_APPLY_TILE"] = str(tile)
         env["PECANPY_TPU_APPLY_CHUNK"] = str(chunk)
+        env["PECANPY_TPU_APPLY_V2"] = str(v2)
+        env["PECANPY_TPU_APPLY_WINDOW"] = str(window)
         r = subprocess.run(
             [sys.executable, __file__, "--one"],
             env=env, capture_output=True, text=True, timeout=1800,
         )
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("RESULT ")]
         if not line:
-            print(f"T={tile} C={chunk}: FAILED\n{r.stdout[-500:]}"
-                  f"\n{r.stderr[-800:]}", flush=True)
+            print(f"T={tile} C={chunk} v2={v2} K={window}: FAILED\n"
+                  f"{r.stdout[-500:]}\n{r.stderr[-800:]}", flush=True)
             continue
         row = json.loads(line[0][len("RESULT "):])
         rows.append(row)
-        print(
-            f"T={tile:5d} C={chunk:5d}: block {row['block_ms']:6.2f} ms "
-            f"(visits {int(_visits(tile, chunk))}, "
-            f"onehot {_onehot(tile, chunk) / 1e9:.2f}G elems, "
-            f"table-stream ref {row['table_stream_ms']:.2f} ms)",
-            flush=True,
-        )
-    if len(rows) >= 4:
-        f = fit(rows)
+        if v2:
+            print(
+                f"T={tile:5d} v2 K={window:4d}: block "
+                f"{row['block_ms']:6.2f} ms "
+                f"(table-stream ref {row['table_stream_ms']:.2f} ms)",
+                flush=True,
+            )
+        else:
+            print(
+                f"T={tile:5d} C={chunk:5d}: block {row['block_ms']:6.2f} ms "
+                f"(visits {int(_visits(tile, chunk))}, "
+                f"onehot {_onehot(tile, chunk) / 1e9:.2f}G elems, "
+                f"table-stream ref {row['table_stream_ms']:.2f} ms)",
+                flush=True,
+            )
+    rows_v1 = [r for r in rows if not r.get("v2")]
+    if len(rows_v1) >= 4:
+        f = fit(rows_v1)
         print("\ncost-model fit: t = t0 + h*visits + k*onehot", flush=True)
         print(
             f"  t0 = {f['t0_ms']:.2f} ms, h = {f['h_us_per_visit']:.2f} us/"
             f"visit, k = {f['k_ps_per_elem']:.3f} ns/Kelem", flush=True,
         )
-        d = rows[0]
+        d = rows_v1[0]
         hv = f["h_us_per_visit"] * _visits(d["tile"], d["chunk"]) / 1e3
         ko = f["k_ps_per_elem"] * _onehot(d["tile"], d["chunk"]) / 1e9
         print(
