@@ -72,12 +72,13 @@ def run_config(label, config_kwargs, disable_applies=False):
     neg_table = jnp.asarray(
         sgns.build_negative_table(np.asarray(counts), seed=0)
     )
-    bound = 0.5 / config.dim
     key = jax.random.PRNGKey(0)
-    w_in = jax.random.uniform(
-        key, (N, config.dim), minval=-bound, maxval=bound
-    )
-    w_out = jnp.zeros((N, config.dim), dtype=jnp.float32)
+    # allocate exactly as production does: TILE-aligned rows + the
+    # shipping table dtype (override with BENCH_TABLE_DTYPE=float32)
+    import os as _os
+
+    dtype = jnp.dtype(_os.environ.get("BENCH_TABLE_DTYPE", "bfloat16"))
+    w_in, w_out = sgns._alloc_tables(key, N, config.dim, dtype)
 
     saved = (apply_lib.apply_mean_updates, apply_lib.apply_mean_updates_two)
     if disable_applies:

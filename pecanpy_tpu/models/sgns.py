@@ -165,6 +165,51 @@ def _fetch_f32(w_in: jax.Array) -> np.ndarray:
     return np.asarray(w_in).astype(np.float32, copy=False)
 
 
+def _aligned_rows(num_nodes: int) -> int:
+    """Table rows rounded up to the Pallas applier's TILE.
+
+    The applier pads a misaligned table on every call — a full-table
+    copy on kernel entry plus a full-table slice copy on exit, PER
+    PASS (``ops/apply.py:_finalize_and_run``). At the headline shape
+    (1M nodes: 1e6 % 1024 = 576) that is four table-sized HBM copies
+    per chunk-step. Allocating the tables TILE-aligned for the whole
+    run (padding rows zero-initialized, never addressed by any update
+    id, sliced off at fetch/checkpoint time) removes them all.
+    """
+    from pecanpy_tpu.ops.apply import TILE
+
+    return -(-num_nodes // TILE) * TILE
+
+
+def _alloc_tables(
+    k_init: jax.Array, num_nodes: int, dim: int, table_dtype
+) -> tuple:
+    """TILE-aligned (w_in, w_out); logical rows init exactly as before.
+
+    The uniform init draws at the LOGICAL [num_nodes, dim] shape (so
+    seeded values are unchanged by the alignment), then pads with zero
+    rows. Padding rows stay exactly zero through training: no update id
+    ever addresses them, and the bf16 stochastic-rounding writeback is
+    exact on already-representable values.
+    """
+    bound = 0.5 / dim
+    n_rows = _aligned_rows(num_nodes)
+    w_in = jnp.pad(
+        jax.random.uniform(
+            k_init, (num_nodes, dim), minval=-bound, maxval=bound
+        ).astype(table_dtype),
+        ((0, n_rows - num_nodes), (0, 0)),
+    )
+    w_out = jnp.zeros((n_rows, dim), dtype=table_dtype)
+    return w_in, w_out
+
+
+def _pad_restored(w_np: np.ndarray, num_nodes: int, table_dtype) -> jax.Array:
+    """Pad a logical-shape checkpoint table back to the aligned rows."""
+    w = jnp.asarray(w_np).astype(table_dtype)
+    return jnp.pad(w, ((0, _aligned_rows(num_nodes) - w.shape[0]), (0, 0)))
+
+
 def _count_tokens(
     walks: jax.Array, eff_len: jax.Array, num_nodes: int
 ) -> jax.Array:
@@ -657,11 +702,9 @@ def train(
     )
 
     table_dtype = resolve_table_dtype(config, num_nodes)
-    bound = 0.5 / config.dim
-    w_in = jax.random.uniform(
-        k_init, (num_nodes, config.dim), minval=-bound, maxval=bound
-    ).astype(table_dtype)
-    w_out = jnp.zeros((num_nodes, config.dim), dtype=table_dtype)
+    w_in, w_out = _alloc_tables(
+        k_init, num_nodes, config.dim, table_dtype
+    )
 
     ckpt = None
     resume_step = 0
@@ -678,8 +721,8 @@ def train(
                 from pecanpy_tpu.utils.checkpoint import verify_rng_scheme
 
                 verify_rng_scheme(meta, RNG_SCHEME)
-                w_in = jnp.asarray(w_in_np).astype(table_dtype)
-                w_out = jnp.asarray(w_out_np).astype(table_dtype)
+                w_in = _pad_restored(w_in_np, num_nodes, table_dtype)
+                w_out = _pad_restored(w_out_np, num_nodes, table_dtype)
                 resume_step = int(meta["next_step"])
 
     use_pallas = jax.default_backend() == "tpu"
@@ -734,13 +777,13 @@ def train(
             _progress(verbose, t_start, done_tokens, total_tokens)
             if ckpt is not None and step_idx % checkpoint_every == 0:
                 ckpt.save(
-                    step_idx, w_in, w_out,
+                    step_idx, w_in[:num_nodes], w_out[:num_nodes],
                     {"next_step": step_idx, "rng_scheme": RNG_SCHEME},
                 )
 
     if ckpt is not None:
         ckpt.close()
-    return _fetch_f32(w_in)
+    return _fetch_f32(w_in[:num_nodes])
 
 
 def _span_len(remaining, step_idx, resume_step, max_steps, checkpoint_every):
@@ -883,11 +926,9 @@ def train_streaming(
         )
 
     table_dtype = resolve_table_dtype(config, num_nodes)
-    bound = 0.5 / config.dim
-    w_in = jax.random.uniform(
-        k_init, (num_nodes, config.dim), minval=-bound, maxval=bound
-    ).astype(table_dtype)
-    w_out = jnp.zeros((num_nodes, config.dim), dtype=table_dtype)
+    w_in, w_out = _alloc_tables(
+        k_init, num_nodes, config.dim, table_dtype
+    )
 
     ckpt = None
     resume_step = 0
@@ -904,8 +945,8 @@ def train_streaming(
                 from pecanpy_tpu.utils.checkpoint import verify_rng_scheme
 
                 verify_rng_scheme(meta, RNG_SCHEME)
-                w_in = jnp.asarray(w_in_np).astype(table_dtype)
-                w_out = jnp.asarray(w_out_np).astype(table_dtype)
+                w_in = _pad_restored(w_in_np, num_nodes, table_dtype)
+                w_out = _pad_restored(w_out_np, num_nodes, table_dtype)
                 resume_step = int(meta["next_step"])
 
     use_pallas = jax.default_backend() == "tpu"
@@ -970,7 +1011,7 @@ def train_streaming(
                 _progress(verbose, t_start, done_tokens, total_tokens)
                 if ckpt is not None and step_idx % checkpoint_every == 0:
                     ckpt.save(
-                        step_idx, w_in, w_out,
+                        step_idx, w_in[:num_nodes], w_out[:num_nodes],
                         {"next_step": step_idx, "rng_scheme": RNG_SCHEME},
                     )
         if verbose:
@@ -980,7 +1021,7 @@ def train_streaming(
             )
     if ckpt is not None:
         ckpt.close()
-    return _fetch_f32(w_in)
+    return _fetch_f32(w_in[:num_nodes])
 
 
 def train_sequential(

@@ -302,16 +302,20 @@ class MultichipTrainer:
     # -- state ----------------------------------------------------------------
 
     def init_params(self, key: jax.Array):
-        """Sharded (w_in, w_out) tables (dims split over ``model``)."""
+        """Sharded (w_in, w_out) tables (dims split over ``model``).
+
+        Rows are TILE-aligned (``sgns._alloc_tables``) so the per-shard
+        Pallas applier never pays its per-call pad/slice table copies;
+        the row axis is unsharded, so alignment is sharding-neutral.
+        """
         n, d = self.graph.num_nodes, self.config.dim
-        bound = 0.5 / d
-        from pecanpy_tpu.models.sgns import resolve_table_dtype
+        from pecanpy_tpu.models.sgns import (
+            _alloc_tables,
+            resolve_table_dtype,
+        )
 
         dtype = resolve_table_dtype(self.config, n)
-        w_in = jax.random.uniform(
-            key, (n, d), minval=-bound, maxval=bound
-        ).astype(dtype)
-        w_out = jnp.zeros((n, d), dtype=dtype)
+        w_in, w_out = _alloc_tables(key, n, d, dtype)
         return (
             jax.device_put(w_in, self._table_sharding),
             jax.device_put(w_out, self._table_sharding),
@@ -453,11 +457,11 @@ def train_streaming_multichip(
 
                 dtype = resolve_table_dtype(config, n)
                 w_in = jax.device_put(
-                    jnp.asarray(w_in_np).astype(dtype),
+                    sgns._pad_restored(w_in_np, n, dtype),
                     trainer._table_sharding,
                 )
                 w_out = jax.device_put(
-                    jnp.asarray(w_out_np).astype(dtype),
+                    sgns._pad_restored(w_out_np, n, dtype),
                     trainer._table_sharding,
                 )
                 resume_step = int(meta["next_step"])
@@ -470,7 +474,7 @@ def train_streaming_multichip(
             if max_steps is not None and step_idx >= max_steps:
                 if ckpt is not None:
                     ckpt.close()
-                return sgns._fetch_f32(w_in)
+                return sgns._fetch_f32(w_in[:n])
             if step_idx < resume_step:
                 done_tokens += batch_tokens[i]
                 step_idx += 1
@@ -491,9 +495,9 @@ def train_streaming_multichip(
             sgns._progress(verbose, t0, done_tokens, total_tokens)
             if ckpt is not None and step_idx % checkpoint_every == 0:
                 ckpt.save(
-                    step_idx, w_in, w_out,
+                    step_idx, w_in[:n], w_out[:n],
                     {"next_step": step_idx, "rng_scheme": RNG_SCHEME},
                 )
     if ckpt is not None:
         ckpt.close()
-    return sgns._fetch_f32(w_in)
+    return sgns._fetch_f32(w_in[:n])

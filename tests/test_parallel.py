@@ -46,7 +46,11 @@ def test_multichip_fused_step(eight_devices, rng):
     w_in2, w_out2 = trainer.step(
         w_in, w_out, starts, keep_prob, neg_table, 0.025, key
     )
-    assert w_in2.shape == (32, 16)
+    # tables allocate TILE-aligned rows (sgns._aligned_rows); logical
+    # rows are the first 32
+    from pecanpy_tpu.models.sgns import _aligned_rows
+
+    assert w_in2.shape == (_aligned_rows(32), 16)
     assert np.isfinite(np.asarray(w_in2)).all()
     # training moved the parameters
     assert float(jnp.abs(w_out2).sum()) > 0.0
