@@ -94,27 +94,24 @@ def _env_tile(name: str, default: int, multiple: int, reason: str) -> int:
     return val
 
 
+# Defaults re-tuned in round 5 with TILE-aligned tables (the original
+# 1024/1024 point dated from sweeps whose signal was masked by per-call
+# pad/slice table copies — see BENCH.md "Round-5 re-examination"): the
+# calibrated cost model t = t0 + h*visits + k*onehot puts its optimum
+# near (2048, 256), and the aligned standalone block measures 2.43 ms
+# vs 4.39 ms at (1024, 1024). Sub-1024 CHUNK ships the ids block as a
+# sub-(8, 128)-tile (1, CHUNK/128, 128) int32 block and relies on
+# Mosaic's padding — bit-exactness at this shape is pinned on v5e by
+# benchmarks/check_apply_tpu.py; run it once on any new TPU generation.
 TILE = _env_tile(
-    "PECANPY_TPU_APPLY_TILE", 1024, 16,
+    "PECANPY_TPU_APPLY_TILE", 2048, 16,
     "sublane tiling — bfloat16 tables, the on-TPU default, need 16-row "
     "sublanes",
 )
 CHUNK = _env_tile(
-    "PECANPY_TPU_APPLY_CHUNK", 1024, 128,
+    "PECANPY_TPU_APPLY_CHUNK", 256, 128,
     "the ids block ships as (1, CHUNK/128, 128) int32 lanes",
 )
-if CHUNK % 1024:
-    # (8, 128)-tiled int32 blocks want CHUNK/128 % 8 == 0; sub-tile
-    # blocks rely on Mosaic's padding, verified on v5e only (the
-    # CHUNK=512/256 sweeps in BENCH.md ran correctly there)
-    import warnings
-
-    warnings.warn(
-        f"PECANPY_TPU_APPLY_CHUNK={CHUNK} is not a multiple of 1024: the "
-        "ids blocks are sub-(8, 128)-tile and depend on Mosaic padding "
-        "(verified on v5e; other runtimes may misalign)",
-        stacklevel=2,
-    )
 _LANE = 128
 _EPS = 1e-9
 
