@@ -82,12 +82,16 @@ def run_config(label, config_kwargs, disable_applies=False):
 
     saved = (apply_lib.apply_mean_updates, apply_lib.apply_mean_updates_two)
     if disable_applies:
+        # keep a data dependency on upd but preserve the table dtype
+        # (bf16 tables: a plain f32-scalar add would promote the carry)
         apply_lib.apply_mean_updates = (
-            lambda table, ids, upd, cnt, lr, **kw: table + 1e-30 * upd[0, 0]
+            lambda table, ids, upd, cnt, lr, **kw: table
+            + (1e-30 * upd[0, 0]).astype(table.dtype)
         )
         apply_lib.apply_mean_updates_two = (
             lambda table, ids_a, upd_a, cnt_a, ids_b, upd_b, cnt_b, lr,
-            **kw: table + 1e-30 * (upd_a[0, 0] + upd_b[0, 0])
+            **kw: table
+            + (1e-30 * (upd_a[0, 0] + upd_b[0, 0])).astype(table.dtype)
         )
         import importlib
 
