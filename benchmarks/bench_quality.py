@@ -21,6 +21,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, ".")  # run as: python benchmarks/bench_quality.py
+
 
 def embed_sequential(
     g, dim, num_walks, walk_length, window, epochs, seed, workers=1
