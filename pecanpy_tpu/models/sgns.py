@@ -422,22 +422,32 @@ def make_step_body(
             # (bases[k] + n) % M of pool_r
             pool_rows = w_out[pool_r].astype(jnp.float32)  # [M, dim]
             reps = -(-bt // m_pool)
+            pad_bt = reps * m_pool - bt
             bases = _stripe_bases(k_neg, bt, m_pool)
+            # Padded [reps, M, dim] VIEW of the token rows, built once:
+            # every stripe op below runs against it with the pool rows
+            # broadcast over the (tiny) reps axis — nothing ever
+            # materializes a [BT, dim]-tiled copy of the pool. (The
+            # round-5 trace priced the old tile-broadcast + per-k z
+            # materialization + per-k pads at ~1.8 ms/step.)
+            v_pad = jnp.pad(v_flat, ((0, pad_bt), (0, 0))).reshape(
+                reps, m_pool, dim
+            )
+            rolled = [
+                jnp.roll(pool_rows, -bases[k], axis=0)
+                for k in range(k_neg)
+            ]  # K x [M, dim]
 
             def stripe(arr_m, k):
-                """[BT, ...] view of stripe k of an [M, ...]-indexed
-                table: roll by the stripe's base offset, tile to BT."""
-                rolled = jnp.roll(arr_m, -bases[k], axis=0)
-                tiled = jnp.broadcast_to(
-                    rolled[None], (reps,) + rolled.shape
-                )
-                return tiled.reshape((reps * m_pool,) + rolled.shape[1:])[
-                    :bt
-                ]
+                """[BT] view of stripe k of an [M]-indexed 1-D table."""
+                r1 = jnp.roll(arr_m, -bases[k], axis=0)
+                tiled = jnp.broadcast_to(r1[None], (reps,) + r1.shape)
+                return tiled.reshape(reps * m_pool)[:bt]
 
             neg_logits = jnp.stack(
                 [
-                    jnp.sum(v_flat * stripe(pool_rows, k), axis=-1)
+                    jnp.sum(v_pad * rolled[k][None], axis=-1)
+                    .reshape(-1)[:bt]
                     for k in range(k_neg)
                 ]
             )  # [K, BT]
@@ -496,11 +506,19 @@ def make_step_body(
         # pull away from their negatives; each negative row collects the
         # symmetric push from its context token
         if use_pool:
-            # stripe-streamed: K fused [BT, dim] passes
+            # stripe-streamed: K fused passes over the padded [reps, M,
+            # dim] view; the rolled pool rows broadcast over reps
+            # inside the fusion (no [BT, dim] stripe materialization)
             a_km = g_neg * pair_cnt.reshape(bt, k_neg).T  # [K, BT]
-            dv_neg = jnp.zeros((bt, dim), dtype=jnp.float32)
+            a_pad = jnp.pad(a_km, ((0, 0), (0, pad_bt))).reshape(
+                k_neg, reps, m_pool
+            )
+            dv_neg_pad = jnp.zeros((reps, m_pool, dim), dtype=jnp.float32)
             for k in range(k_neg):
-                dv_neg = dv_neg + a_km[k][:, None] * stripe(pool_rows, k)
+                dv_neg_pad = dv_neg_pad + (
+                    a_pad[k][:, :, None] * rolled[k][None]
+                )
+            dv_neg = dv_neg_pad.reshape(-1, dim)[:bt]
             dv = dv + dv_neg.reshape(wb, t, dim)
             a_v = None
             du_neg = None
@@ -518,24 +536,27 @@ def make_step_body(
         if use_pool:
             # pre-aggregate the negative updates per pool slot, one
             # stripe at a time: stripe k's token n feeds slot
-            # (n + bases[k]) % M, so a reshape-sum over the tiling axis
-            # groups by n % M and a roll by the stripe base realigns to
-            # slot order. Sums and counts per table row reach the
-            # applier unchanged — only grouped; the rolled pool itself
-            # is the id stream.
-            pad_bt = (-bt) % m_pool
+            # (n + bases[k]) % M, so a multiply-reduce over the (tiny)
+            # reps axis of the padded view groups by n % M and a roll
+            # by the stripe base realigns to slot order. Sums and
+            # counts per table row reach the applier unchanged — only
+            # grouped; the rolled pool itself is the id stream. (No
+            # [BT, dim] z tensor, no per-k payload pads — the round-5
+            # trace priced those at ~1.3 ms/step.)
             du_neg_flat = jnp.zeros((m_pool, dim), dtype=jnp.float32)
             c_v_flat = jnp.zeros((m_pool,), dtype=jnp.float32)
             c_km = pair_cnt.reshape(bt, k_neg).T  # [K, BT]
+            c_pad = jnp.pad(c_km, ((0, 0), (0, pad_bt))).reshape(
+                k_neg, reps, m_pool
+            )
             for k in range(k_neg):
                 shift = bases[k]
-                z = a_km[k][:, None] * v_flat  # [BT, dim]
-                zp = jnp.pad(z, ((0, pad_bt), (0, 0)))
-                by_mod = jnp.sum(zp.reshape(-1, m_pool, dim), axis=0)
+                by_mod = jnp.sum(
+                    a_pad[k][:, :, None] * v_pad, axis=0
+                )  # [M, dim]
                 du_neg_flat = du_neg_flat + jnp.roll(by_mod, shift, axis=0)
-                cp = jnp.pad(c_km[k], (0, pad_bt))
                 c_v_flat = c_v_flat + jnp.roll(
-                    jnp.sum(cp.reshape(-1, m_pool), axis=0), shift
+                    jnp.sum(c_pad[k], axis=0), shift
                 )
             negs_flat = pool_r
         else:

@@ -494,9 +494,19 @@ def _pallas_apply_one(table, ids, upd, cnt, lr, cap, rng_seed,
     """Sort + pre-scale one stream, run the visit-list kernel."""
     if ids.shape[0] == 0:  # empty stream: nothing to apply
         return table
-    order = jnp.argsort(ids)
-    ids_s = ids[order]
-    cnt_s = cnt[order].astype(jnp.float32)
+    # Variadic sort carries (ids, cnt) through the sort network instead
+    # of permuting them with post-sort 1-D gathers: on TPU a scalar
+    # gather runs ~6.6 ns/element (latency-bound), so the two gathers
+    # cost ~1.3 ms at 100k rows while the sort itself is ~0.1 ms
+    # (round-5 trace, BENCH.md). Stable sort + iota tiebreak makes the
+    # permutation identical to argsort — bit-exact. The [R, dim]
+    # payload cannot ride the sort (operand shapes must match), but row
+    # gathers stream near roofline and stay as-is.
+    r = ids.shape[0]
+    ids_s, cnt_s, order = jax.lax.sort(
+        (ids, cnt.astype(jnp.float32), jax.lax.iota(jnp.int32, r)),
+        num_keys=1,
+    )
     scale = _sorted_scales(ids_s, cnt_s, lr, cap)
     upd_s = upd[order].astype(jnp.float32) * scale[:, None]
     if DOT_BF16:
@@ -560,9 +570,12 @@ def _pallas_apply_two(table, ids_a, upd_a, cnt_a, ids_b, upd_b, cnt_b,
     cnt = jnp.concatenate(
         [cnt_a.astype(jnp.float32), cnt_b.astype(jnp.float32)]
     )
-    order = jnp.argsort(keys)
-    keys_s = keys[order]
-    cnt_s = cnt[order]
+    # variadic sort: see _pallas_apply_one — saves two ~0.9 ms scalar
+    # permute gathers at the merged-stream size, bit-exactly
+    keys_s, cnt_s, order = jax.lax.sort(
+        (keys, cnt, jax.lax.iota(jnp.int32, keys.shape[0])),
+        num_keys=1,
+    )
     cap_s = jnp.where((keys_s & 1) == 1, cap_b, cap_a)
     scale = _sorted_scales(keys_s, cnt_s, lr, cap_s)
     upd_s = upd[order] * scale[:, None]
