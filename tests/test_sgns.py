@@ -376,3 +376,43 @@ def test_embed_small_corpus_epochs_advisory(rng):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         g2.embed(dim=8, num_walks=2, walk_length=5, window_size=2, epochs=2)
+
+
+def test_gather_1d_exact(rng):
+    """Lane-select gather (``_gather_1d``) equals direct indexing for
+    f32 and int32 vectors, any length (incl. non-multiples of 128)."""
+    import jax.numpy as jnp
+
+    for n, shape in ((1000, (37,)), (4096, (5, 9)), (131, (64,))):
+        vec_f = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        vec_i = jnp.asarray(rng.integers(0, 1 << 20, n).astype(np.int32))
+        idx = jnp.asarray(rng.integers(0, n, shape).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(sgns._gather_1d(vec_f, idx)), np.asarray(vec_f[idx])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sgns._gather_1d(vec_i, idx)), np.asarray(vec_i[idx])
+        )
+
+
+def test_alloc_tables_aligned_and_logical_init():
+    """Tables allocate TILE-aligned; the logical rows' init values equal
+    a direct [N, dim] draw (alignment must not change seeded values),
+    and padding rows are exactly zero."""
+    import jax
+    import jax.numpy as jnp
+
+    from pecanpy_tpu.ops.apply import TILE
+
+    n, dim = 100, 16
+    key = jax.random.PRNGKey(7)
+    w_in, w_out = sgns._alloc_tables(key, n, dim, jnp.float32)
+    assert w_in.shape[0] == sgns._aligned_rows(n)
+    assert w_in.shape[0] % TILE == 0
+    bound = 0.5 / dim
+    direct = jax.random.uniform(
+        key, (n, dim), minval=-bound, maxval=bound
+    )
+    np.testing.assert_array_equal(np.asarray(w_in[:n]), np.asarray(direct))
+    assert not np.asarray(w_in[n:]).any()
+    assert not np.asarray(w_out).any()
